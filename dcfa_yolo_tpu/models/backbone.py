@@ -1,0 +1,48 @@
+"""ShuffleNetV2/SPPF-CBAM backbone (`nets/yolo_mul.py:252-308`), NHWC."""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from dcfa_yolo_tpu.ops.conv import ConvBnAct
+from dcfa_yolo_tpu.models.blocks import ConvMaxpool, SPPFCBAM, ShuffleNetV2Block
+
+
+class Backbone(nn.Module):
+    """stem → dark2..dark5; each dark = s2 ConvBnAct + s1 ShuffleNetV2 unit;
+    dark5 appends SPPF-CBAM.  Emits feats at /8, /16, /32."""
+
+    base_channels: int
+    deep_channels: int
+    axis_name: Optional[str] = None
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        bc = self.base_channels
+        kw = dict(axis_name=self.axis_name, dtype=self.dtype)
+
+        x = ConvMaxpool(bc, name="stem", **kw)(x, train=train)
+
+        x = ConvBnAct(bc * 2, 3, 2, name="dark2_conv", **kw)(x, train=train)
+        x = ShuffleNetV2Block(bc * 2, stride=1, name="dark2_shuffle", **kw)(x, train=train)
+
+        x = ConvBnAct(bc * 4, 3, 2, name="dark3_conv", **kw)(x, train=train)
+        x = ShuffleNetV2Block(bc * 4, stride=1, name="dark3_shuffle", **kw)(x, train=train)
+        feat1 = x
+
+        x = ConvBnAct(bc * 8, 3, 2, name="dark4_conv", **kw)(x, train=train)
+        x = ShuffleNetV2Block(bc * 8, stride=1, name="dark4_shuffle", **kw)(x, train=train)
+        feat2 = x
+
+        x = ConvBnAct(self.deep_channels, 3, 2, name="dark5_conv", **kw)(x, train=train)
+        x = ShuffleNetV2Block(self.deep_channels, stride=1, name="dark5_shuffle", **kw)(
+            x, train=train)
+        x = SPPFCBAM(self.deep_channels, pool_kernel=5, name="dark5_sppf", **kw)(
+            x, train=train)
+        feat3 = x
+        return feat1, feat2, feat3

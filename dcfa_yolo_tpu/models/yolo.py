@@ -1,0 +1,154 @@
+"""DCFA-YOLO model assembly (`nets/yolo_mul.py:328-462`), TPU-first.
+
+Differences from the reference, by design (SURVEY.md §7):
+  * NHWC activations / HWIO kernels (XLA's preferred TPU conv layout);
+  * the neck's upsample target sizes are derived from the input shape instead of
+    the hardcoded (40,40)/(80,80) of `nets/yolo_mul.py:426,433`, so any input
+    divisible by 32 works (320/640/1280 multi-scale sweep);
+  * the neck in-channels are computed symbolically instead of the phi='n'-only
+    literals at `nets/yolo_mul.py:361,364,376`, so every phi is functional
+    (phi='n' remains the parity target and is numerically identical);
+  * anchors/strides are static constants of the compiled program rather than
+    buffers cached on the module (`nets/yolo_mul.py:455-457`);
+  * outputs are (batch, anchors, channels) — anchors on the long (sublane) axis.
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple, Optional, Tuple
+
+import numpy as np
+import jax.numpy as jnp
+from flax import linen as nn
+
+from dcfa_yolo_tpu.config import ModelConfig
+from dcfa_yolo_tpu.models.backbone import Backbone
+from dcfa_yolo_tpu.models.blocks import CBAM, C2fRepGhost, ConcatBiFPN, dfl_decode
+from dcfa_yolo_tpu.ops.boxes import make_anchors_np
+from dcfa_yolo_tpu.ops.conv import ConvBnAct, torch_conv
+from dcfa_yolo_tpu.ops.resize import resize_bilinear_align_corners
+
+
+class YoloOutputs(NamedTuple):
+    """Forward outputs, mirroring the reference's (dbox, cls, x, anchors, strides)
+    tuple (`nets/yolo_mul.py:462`) in anchors-first layout."""
+
+    dbox: jnp.ndarray        # (b, A, 4) DFL-decoded ltrb distances (feature units)
+    cls: jnp.ndarray         # (b, A, nc) raw class logits
+    feats: Tuple[jnp.ndarray, ...]  # raw per-level maps, NHWC (b, h, w, no)
+    anchors: jnp.ndarray     # (A, 2) grid centers, feature units
+    strides: jnp.ndarray     # (A, 1)
+
+
+class DCFAYolo(nn.Module):
+    """Dual-backbone (RGB+NIR) detector with CBAM cross-feature fusion, RepGhost
+    PAN neck, and YOLOv8 decoupled DFL head."""
+
+    cfg: ModelConfig
+    deploy: bool = False
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, rgb: jnp.ndarray, nir: jnp.ndarray, train: bool = False
+                 ) -> YoloOutputs:
+        cfg = self.cfg
+        dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+        bc, deep, depth = cfg.base_channels, cfg.deep_channels, cfg.base_depth
+        kw = dict(axis_name=self.axis_name, dtype=dtype)
+
+        rgb = rgb.astype(dtype)
+        nir = nir.astype(dtype)
+
+        feat1_rgb, feat2_rgb, feat3_rgb = Backbone(bc, deep, name="backbone_rgb", **kw)(
+            rgb, train=train)
+        feat1_nir, feat2_nir, feat3_nir = Backbone(bc, deep, name="backbone_nir", **kw)(
+            nir, train=train)
+
+        # Per-level, per-modality CBAM before fusion (`nets/yolo_mul.py:346-353`).
+        feat1_rgb = CBAM(dtype=dtype, name="cbam_rgb_feat1")(feat1_rgb)
+        feat1_nir = CBAM(dtype=dtype, name="cbam_nir_feat1")(feat1_nir)
+        feat2_rgb = CBAM(dtype=dtype, name="cbam_rgb_feat2")(feat2_rgb)
+        feat2_nir = CBAM(dtype=dtype, name="cbam_nir_feat2")(feat2_nir)
+        feat3_rgb = CBAM(dtype=dtype, name="cbam_rgb_feat3")(feat3_rgb)
+        feat3_nir = CBAM(dtype=dtype, name="cbam_nir_feat3")(feat3_nir)
+
+        # P5 fusion is an element-wise add (`nets/yolo_mul.py:421`).
+        feat3 = feat3_rgb + feat3_nir
+
+        # One ConcatBiFPN instance shared across all three fusion points, like the
+        # reference's single `self.bi_fpn` (`nets/yolo_mul.py:344,428,435,443`).
+        bi_fpn = ConcatBiFPN(dtype=dtype, name="bi_fpn")
+
+        # ---- PAN neck ----
+        p4_hw = feat2_rgb.shape[1:3]
+        p3_hw = feat1_rgb.shape[1:3]
+
+        p5_up = resize_bilinear_align_corners(feat3, p4_hw)
+        p4 = bi_fpn((p5_up, feat2_rgb, feat2_nir))
+        p4 = C2fRepGhost(bc * 8, n=depth, deploy=self.deploy,
+                         name="conv3_for_upsample1", **kw)(p4, train=train)
+
+        p4_up = resize_bilinear_align_corners(p4, p3_hw)
+        p3 = bi_fpn((p4_up, feat1_rgb, feat1_nir))
+        p3 = C2fRepGhost(bc * 4, n=depth, deploy=self.deploy,
+                         name="conv3_for_upsample2", **kw)(p3, train=train)
+
+        p3_down = ConvBnAct(bc * 4, 3, 2, name="down_sample1", **kw)(p3, train=train)
+        p4 = jnp.concatenate([p3_down, p4], axis=-1)
+        p4 = C2fRepGhost(bc * 8, n=depth, deploy=self.deploy,
+                         name="conv3_for_downsample1", **kw)(p4, train=train)
+
+        p4_down = ConvBnAct(bc * 8, 3, 2, name="down_sample2", **kw)(p4, train=train)
+        p5 = bi_fpn((p4_down, feat3_rgb, feat3_nir))
+        p5 = C2fRepGhost(deep, n=depth, deploy=self.deploy,
+                         name="conv3_for_downsample2", **kw)(p5, train=train)
+
+        # ---- Decoupled head (`nets/yolo_mul.py:387-391,452-453`) ----
+        ch = cfg.feat_channels
+        c2 = max(16, ch[0] // 4, cfg.reg_max * 4)
+        c3 = max(ch[0], cfg.num_classes)
+        feats = []
+        for i, p in enumerate((p3, p4, p5)):
+            box = ConvBnAct(c2, 3, name=f"cv2_{i}_0", **kw)(p, train=train)
+            box = ConvBnAct(c2, 3, name=f"cv2_{i}_1", **kw)(box, train=train)
+            box = torch_conv(4 * cfg.reg_max, 1, use_bias=True, dtype=dtype,
+                             name=f"cv2_{i}_2")(box)
+            cls = ConvBnAct(c3, 3, name=f"cv3_{i}_0", **kw)(p, train=train)
+            cls = ConvBnAct(c3, 3, name=f"cv3_{i}_1", **kw)(cls, train=train)
+            cls = torch_conv(cfg.num_classes, 1, use_bias=True, dtype=dtype,
+                             name=f"cv3_{i}_2")(cls)
+            feats.append(jnp.concatenate([box, cls], axis=-1))
+
+        # Flatten levels to the anchor axis; row-major (y, x) per level matches the
+        # reference's NCHW `.view(b, no, -1)` order (`nets/yolo_mul.py:459`).
+        b = feats[0].shape[0]
+        flat = jnp.concatenate(
+            [f.reshape(b, -1, cfg.no) for f in feats], axis=1)
+        box_logits = flat[..., : cfg.reg_max * 4].astype(jnp.float32)
+        cls_logits = flat[..., cfg.reg_max * 4:].astype(jnp.float32)
+        dbox = dfl_decode(box_logits, cfg.reg_max)
+
+        input_hw = (rgb.shape[1], rgb.shape[2])
+        anchors_np, strides_np = make_anchors_np(input_hw, cfg.strides)
+        return YoloOutputs(
+            dbox=dbox,
+            cls=cls_logits,
+            feats=tuple(feats),
+            anchors=jnp.asarray(anchors_np),
+            strides=jnp.asarray(strides_np),
+        )
+
+
+def init_model(cfg: ModelConfig, rng, batch_size: int = 1):
+    """Initialize variables for a DCFAYolo with dummy inputs of cfg.input_shape."""
+    model = DCFAYolo(cfg)
+    h, w = cfg.input_shape
+    dummy = jnp.zeros((batch_size, h, w, 3), jnp.float32)
+    variables = model.init(rng, dummy, dummy, train=False)
+    return model, variables
+
+
+def count_params(variables) -> int:
+    import jax
+
+    return sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(variables["params"]))

@@ -1,0 +1,137 @@
+"""Convolution / BatchNorm primitives with PyTorch-compatible semantics, NHWC layout.
+
+The reference model mixes two BatchNorm flavours:
+  * `Conv` blocks in `nets/yolo_mul.py:197` use eps=1e-3, momentum=0.03;
+  * everything else (ShuffleNet BNs, RepGhost BNs, `nets/repghost.py:298`) uses the
+    PyTorch defaults eps=1e-5, momentum=0.1.
+Torch `momentum` is the weight of the *new* batch statistic; flax's is the weight of
+the *old* running statistic, so flax_momentum = 1 - torch_momentum.
+
+All convs run in NHWC with HWIO kernels — the layout XLA tiles best onto the TPU MXU.
+Activations may be bfloat16 (`dtype`); params and BN stats stay float32.
+
+`torch_conv`/`torch_batchnorm` are factories returning plain flax modules so the
+parameter tree stays flat (`<name>/kernel`, `<name>/{scale,bias,mean,var}`), which
+keeps the torch-checkpoint importer a straightforward key mapping.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+def autopad(k: int, p: Optional[int] = None, d: int = 1) -> int:
+    """'same'-style padding used throughout the reference (`nets/yolo_mul.py:171-180`)."""
+    if d > 1:
+        k = d * (k - 1) + 1
+    if p is None:
+        p = k // 2
+    return p
+
+
+def apply_act(x: jnp.ndarray, act: str) -> jnp.ndarray:
+    if act == "silu":
+        return x * nn.sigmoid(x)
+    if act == "relu":
+        return nn.relu(x)
+    if act == "none":
+        return x
+    raise ValueError(f"unknown activation {act!r}")
+
+
+def torch_conv(
+    features: int,
+    kernel_size: int = 1,
+    stride: int = 1,
+    padding: Optional[int] = None,
+    groups: int = 1,
+    dilation: int = 1,
+    use_bias: bool = False,
+    dtype: Any = jnp.float32,
+    name: Optional[str] = None,
+) -> nn.Conv:
+    """nn.Conv2d equivalent: explicit symmetric padding, optional groups/bias."""
+    p = autopad(kernel_size, padding, dilation)
+    return nn.Conv(
+        features=features,
+        kernel_size=(kernel_size, kernel_size),
+        strides=(stride, stride),
+        padding=[(p, p), (p, p)],
+        feature_group_count=groups,
+        kernel_dilation=(dilation, dilation),
+        use_bias=use_bias,
+        dtype=dtype,
+        param_dtype=jnp.float32,
+        name=name,
+    )
+
+
+def torch_batchnorm(
+    eps: float = 1e-5,
+    torch_momentum: float = 0.1,
+    axis_name: Optional[str] = None,
+    dtype: Any = jnp.float32,
+    name: Optional[str] = None,
+) -> nn.BatchNorm:
+    """BatchNorm2d with torch-style momentum semantics.
+
+    Call with `use_running_average=not train`.  Under `jit` over a batch-sharded
+    mesh the batch moments are *global* automatically (XLA inserts the
+    cross-replica reduction), which subsumes the reference's SyncBatchNorm
+    conversion (`train_mul.py:193-196`); `axis_name` exists for explicit
+    shard_map/pmap code paths.
+    """
+    return nn.BatchNorm(
+        momentum=1.0 - torch_momentum,
+        epsilon=eps,
+        axis_name=axis_name,
+        dtype=dtype,
+        param_dtype=jnp.float32,
+        name=name,
+    )
+
+
+class ConvBnAct(nn.Module):
+    """The reference's `Conv` block: Conv2d(bias=False) + BN + activation.
+
+    `bn_eps`/`bn_momentum` default to the `nets/yolo_mul.py:197` variant; RepGhost
+    call-sites override them to the torch defaults (`nets/repghost.py:298`).
+    Param paths: `<name>/conv/kernel`, `<name>/bn/{scale,bias}` (+ batch_stats).
+    """
+
+    features: int
+    kernel_size: int = 1
+    stride: int = 1
+    padding: Optional[int] = None
+    groups: int = 1
+    dilation: int = 1
+    act: str = "silu"
+    bn_eps: float = 1e-3
+    bn_momentum: float = 0.03
+    axis_name: Optional[str] = None
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        x = torch_conv(
+            self.features,
+            self.kernel_size,
+            self.stride,
+            self.padding,
+            self.groups,
+            self.dilation,
+            use_bias=False,
+            dtype=self.dtype,
+            name="conv",
+        )(x)
+        x = torch_batchnorm(
+            eps=self.bn_eps,
+            torch_momentum=self.bn_momentum,
+            axis_name=self.axis_name,
+            dtype=self.dtype,
+            name="bn",
+        )(x, use_running_average=not train)
+        return apply_act(x, self.act)

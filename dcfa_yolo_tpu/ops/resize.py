@@ -1,0 +1,158 @@
+"""On-device resize ops.
+
+Two distinct resizes exist in the reference:
+  * the neck's `F.interpolate(..., mode='bilinear', align_corners=True)`
+    (`nets/yolo_mul.py:426,433`) — reproduced exactly here as two small matmuls
+    against static interpolation matrices, which XLA maps onto the MXU instead of
+    a gather;
+  * host-side PIL BICUBIC letterbox preprocessing (`utils/utils.py:24-37`) — the
+    batched inference path replaces it with an on-device bicubic letterbox (same
+    gray-128 padding and centering arithmetic).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import numpy as np
+import jax.numpy as jnp
+
+
+@functools.lru_cache(maxsize=64)
+def _linear_matrix(n_in: int, n_out: int) -> np.ndarray:
+    """(n_out, n_in) matrix A with out = A @ in, bilinear, align_corners=True."""
+    if n_out == 1:
+        pos = np.zeros((1,), dtype=np.float64)
+    else:
+        pos = np.arange(n_out, dtype=np.float64) * (n_in - 1) / (n_out - 1)
+    lo = np.floor(pos).astype(np.int64)
+    lo = np.clip(lo, 0, n_in - 1)
+    hi = np.minimum(lo + 1, n_in - 1)
+    w = pos - lo
+    mat = np.zeros((n_out, n_in), dtype=np.float32)
+    mat[np.arange(n_out), lo] += (1.0 - w).astype(np.float32)
+    mat[np.arange(n_out), hi] += w.astype(np.float32)
+    return mat
+
+
+def _cubic_kernel(t: np.ndarray, a: float = -0.5) -> np.ndarray:
+    """Keys cubic convolution kernel (a=-0.5, the torch/OpenCV 'bicubic')."""
+    at = np.abs(t)
+    at2, at3 = at * at, at * at * at
+    k = np.where(
+        at <= 1.0,
+        (a + 2.0) * at3 - (a + 3.0) * at2 + 1.0,
+        np.where(at < 2.0, a * at3 - 5.0 * a * at2 + 8.0 * a * at - 4.0 * a, 0.0),
+    )
+    return k
+
+
+@functools.lru_cache(maxsize=64)
+def _cubic_matrix(n_in: int, n_out: int) -> np.ndarray:
+    """(n_out, n_in) bicubic interpolation matrix, half-pixel convention.
+
+    Matches torch `interpolate(mode='bicubic', align_corners=False)` /
+    cv2.INTER_CUBIC for downscale factor handled by plain (non-antialiased)
+    sampling, which is what PIL does NOT do — PIL's `Image.BICUBIC` resize is
+    antialiased on downscale.  See `letterbox_matrix_pil` for the PIL-parity path.
+    """
+    scale = n_in / n_out
+    pos = (np.arange(n_out, dtype=np.float64) + 0.5) * scale - 0.5
+    base = np.floor(pos).astype(np.int64)
+    frac = pos - base
+    mat = np.zeros((n_out, n_in), dtype=np.float32)
+    for tap in range(-1, 3):
+        idx = np.clip(base + tap, 0, n_in - 1)
+        w = _cubic_kernel(tap - frac)
+        np.add.at(mat, (np.arange(n_out), idx), w.astype(np.float32))
+    return mat
+
+
+@functools.lru_cache(maxsize=64)
+def _pil_cubic_matrix(n_in: int, n_out: int) -> np.ndarray:
+    """(n_out, n_in) matrix reproducing PIL `Image.resize(..., Image.BICUBIC)`.
+
+    PIL uses a support-scaled (antialiased) cubic filter with a=-0.5 whenever
+    n_out < n_in, and weight normalization.  This reproduces `utils/utils.py:32`
+    bit-closely so the single-image parity path can run fully on device.
+    """
+    scale = n_in / n_out
+    filterscale = max(scale, 1.0)
+    support = 2.0 * filterscale
+    mat = np.zeros((n_out, n_in), dtype=np.float64)
+    for i in range(n_out):
+        center = (i + 0.5) * scale
+        xmin = max(int(center - support + 0.5), 0)
+        xmax = min(int(center + support + 0.5), n_in)
+        taps = np.arange(xmin, xmax, dtype=np.float64)
+        w = _cubic_kernel((taps - center + 0.5) / filterscale)
+        s = w.sum()
+        if s != 0:
+            w = w / s
+        mat[i, xmin:xmax] = w
+    return mat.astype(np.float32)
+
+
+def _separable_resize(x: jnp.ndarray, mat_h: np.ndarray, mat_w: np.ndarray) -> jnp.ndarray:
+    """Apply row/col interpolation matrices to NHWC x: two MXU matmuls."""
+    ah = jnp.asarray(mat_h, dtype=x.dtype)
+    aw = jnp.asarray(mat_w, dtype=x.dtype)
+    x = jnp.einsum("ph,bhwc->bpwc", ah, x)
+    x = jnp.einsum("qw,bpwc->bpqc", aw, x)
+    return x
+
+
+def resize_bilinear_align_corners(x: jnp.ndarray, out_hw: Tuple[int, int]) -> jnp.ndarray:
+    """Bilinear align_corners=True resize of NHWC x (neck upsample parity)."""
+    h, w = x.shape[1], x.shape[2]
+    return _separable_resize(x, _linear_matrix(h, out_hw[0]), _linear_matrix(w, out_hw[1]))
+
+
+def resize_bicubic(x: jnp.ndarray, out_hw: Tuple[int, int], pil_parity: bool = True) -> jnp.ndarray:
+    """Bicubic resize of NHWC x.
+
+    pil_parity=True uses PIL's antialiased kernel (matches `Image.BICUBIC` used at
+    `utils/utils.py:32`), including PIL's horizontal-pass → uint8 round/clip →
+    vertical-pass order; False uses the plain half-pixel cubic (torch/cv2 flavour).
+    """
+    h, w = x.shape[1], x.shape[2]
+    if pil_parity:
+        aw = jnp.asarray(_pil_cubic_matrix(w, out_hw[1]), dtype=x.dtype)
+        ah = jnp.asarray(_pil_cubic_matrix(h, out_hw[0]), dtype=x.dtype)
+        x = jnp.einsum("qw,bhwc->bhqc", aw, x)
+        x = jnp.clip(jnp.round(x), 0.0, 255.0)  # PIL stores uint8 between passes
+        return jnp.einsum("ph,bhqc->bpqc", ah, x)
+    make = _cubic_matrix
+    return _separable_resize(x, make(h, out_hw[0]), make(w, out_hw[1]))
+
+
+def letterbox_batch(
+    images: jnp.ndarray,
+    target_hw: Tuple[int, int],
+    pad_value: float = 128.0,
+    pil_parity: bool = True,
+) -> jnp.ndarray:
+    """On-device letterbox of an NHWC uint8/float batch to `target_hw`.
+
+    Reproduces `utils/utils.py:24-37`: scale = min(W/iw, H/ih), bicubic resize to
+    (nh, nw), paste centered on a gray(128) canvas.  All images in the batch share
+    one static input shape, so the compiled program has fixed shapes.
+    Returns float32 in [0, 255] (normalization by /255 happens in the pipeline,
+    matching `preprocess_input` at `utils/utils.py:76-79`).
+    """
+    ih, iw = images.shape[1], images.shape[2]
+    th, tw = target_hw
+    scale = min(tw / iw, th / ih)
+    nw, nh = int(iw * scale), int(ih * scale)
+    x = images.astype(jnp.float32)
+    x = resize_bicubic(x, (nh, nw), pil_parity=pil_parity)
+    # PIL converts back to uint8 after resizing; round+clip for parity.
+    x = jnp.clip(jnp.round(x), 0.0, 255.0)
+    pad_top = (th - nh) // 2
+    pad_left = (tw - nw) // 2
+    return jnp.pad(
+        x,
+        ((0, 0), (pad_top, th - nh - pad_top), (pad_left, tw - nw - pad_left), (0, 0)),
+        constant_values=pad_value,
+    )
