@@ -170,6 +170,24 @@ def main() -> None:
     ops["letterbox_in"] = rng_img
     ops["letterbox_out"] = np.asarray(canvas, dtype=np.uint8)
 
+    # DecodeBox goldens (`utils/utils_bbox.py:42-85`) from the model outputs
+    from utils.utils_bbox import DecodeBox
+
+    decoder = DecodeBox(1, (640, 640))
+    y = decoder.decode_box((dbox, cls, x, anchors, strides))
+    ops["decoded_y"] = y.numpy()
+
+    rng = np.random.Generator(np.random.PCG64(7))
+    box_xy = rng.uniform(0.2, 0.8, size=(50, 2)).astype(np.float32)
+    box_wh = rng.uniform(0.05, 0.3, size=(50, 2)).astype(np.float32)
+    ops["cb_xy"], ops["cb_wh"] = box_xy, box_wh
+    # yolo_correct_boxes mutates box_wh in place (`box_hw *= scale` on a reversed
+    # view, `utils/utils_bbox.py:79`) — pass copies so the saved inputs stay pristine.
+    ops["cb_letterbox"] = decoder.yolo_correct_boxes(
+        box_xy.copy(), box_wh.copy(), (640, 640), (480, 602), True)
+    ops["cb_plain"] = decoder.yolo_correct_boxes(
+        box_xy.copy(), box_wh.copy(), (640, 640), (480, 602), False)
+
     np.savez_compressed(os.path.join(OUT, "ops.npz"), **ops)
     print("ops.npz written")
 
