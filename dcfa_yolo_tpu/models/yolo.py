@@ -140,11 +140,17 @@ class DCFAYolo(nn.Module):
 
 
 def init_model(cfg: ModelConfig, rng, batch_size: int = 1):
-    """Initialize variables for a DCFAYolo with dummy inputs of cfg.input_shape."""
+    """Initialize variables for a DCFAYolo with dummy inputs of cfg.input_shape.
+
+    The init runs under jit: on remote-dispatch platforms (axon tunnel) eager
+    per-op execution costs an RPC per op, turning module init into minutes.
+    """
+    import jax
+
     model = DCFAYolo(cfg)
     h, w = cfg.input_shape
     dummy = jnp.zeros((batch_size, h, w, 3), jnp.float32)
-    variables = model.init(rng, dummy, dummy, train=False)
+    variables = jax.jit(lambda r: model.init(r, dummy, dummy, train=False))(rng)
     return model, variables
 
 

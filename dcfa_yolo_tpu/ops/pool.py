@@ -14,12 +14,11 @@ def max_pool_same(x: jnp.ndarray, kernel: int, stride: int = 1) -> jnp.ndarray:
     never win the max.
     """
     pad = kernel // 2
-    neg_inf = jnp.array(-jnp.inf, dtype=x.dtype) if jnp.issubdtype(
-        x.dtype, jnp.floating
-    ) else jnp.iinfo(x.dtype).min
+    # NOTE: the init value must be the scalar -inf literal for JAX to recognize
+    # the max-monoid (otherwise reverse-mode autodiff of reduce_window fails).
     return lax.reduce_window(
         x,
-        neg_inf,
+        -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min,
         lax.max,
         window_dimensions=(1, kernel, kernel, 1),
         window_strides=(1, stride, stride, 1),

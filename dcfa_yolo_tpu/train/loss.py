@@ -1,0 +1,166 @@
+"""YOLOv8 training criterion (`nets/yolo_training.py:323-430`) in fixed shapes.
+
+Differences from the reference, by design:
+  * ground truth arrives pre-padded to (b, max_boxes, 5) [cls, x1, y1, x2, y2]
+    (image pixels) + validity mask — the ragged per-batch `preprocess`
+    (`nets/yolo_training.py:342-358`) moves to the host data pipeline;
+  * boolean `masked_select` indexing becomes `where`-masking (same numerics);
+  * everything is pure and jit/grad-compatible; per-term components are also
+    returned for logging.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Sequence, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from dcfa_yolo_tpu.config import ModelConfig, TrainConfig
+from dcfa_yolo_tpu.ops.boxes import bbox2dist, bbox_iou, dist2bbox, make_anchors_np
+from dcfa_yolo_tpu.train.assigner import TaskAlignedAssigner
+
+
+class LossBreakdown(NamedTuple):
+    total: jnp.ndarray
+    box: jnp.ndarray
+    cls: jnp.ndarray
+    dfl: jnp.ndarray
+
+
+def _df_loss(pred_dist: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
+    """Distribution focal loss (`nets/yolo_training.py:294-303`).
+
+    pred_dist: (..., 4, reg_max) logits; target: (..., 4) continuous ltrb in
+    [0, reg_max-1).  Returns (..., 1): mean over the 4 sides of the weighted
+    left/right cross-entropies.
+    """
+    tl = jnp.floor(target).astype(jnp.int32)
+    tr = tl + 1
+    wl = tr.astype(target.dtype) - target
+    wr = 1.0 - wl
+    logp = jax.nn.log_softmax(pred_dist, axis=-1)
+    ce_l = -jnp.take_along_axis(logp, tl[..., None], axis=-1)[..., 0]
+    ce_r = -jnp.take_along_axis(logp, jnp.clip(tr, 0, pred_dist.shape[-1] - 1)[..., None],
+                                axis=-1)[..., 0]
+    return jnp.mean(ce_l * wl + ce_r * wr, axis=-1, keepdims=True)
+
+
+class YoloLoss:
+    """Callable criterion bound to a model config (anchors/strides static)."""
+
+    def __init__(self, cfg: ModelConfig, train_cfg: TrainConfig = TrainConfig()):
+        self.cfg = cfg
+        self.tc = train_cfg
+        self.nc = cfg.num_classes
+        self.reg_max = cfg.reg_max
+        self.use_dfl = cfg.reg_max > 1
+        anchors, strides = make_anchors_np(cfg.input_shape, cfg.strides)
+        self.anchor_points = jnp.asarray(anchors)   # (A, 2) feature units
+        self.stride_tensor = jnp.asarray(strides)   # (A, 1)
+        self.proj = jnp.arange(cfg.reg_max, dtype=jnp.float32)
+        self.assigner = TaskAlignedAssigner(
+            topk=train_cfg.assigner_topk, num_classes=self.nc,
+            alpha=train_cfg.assigner_alpha, beta=train_cfg.assigner_beta)
+
+    # ------------------------------------------------------------------
+    def bbox_decode(self, pred_dist: jnp.ndarray) -> jnp.ndarray:
+        """(b, A, 4*reg_max) logits → (b, A, 4) xyxy in feature units
+        (`nets/yolo_training.py:360-369`)."""
+        b, a, c = pred_dist.shape
+        if self.use_dfl:
+            x = pred_dist.reshape(b, a, 4, c // 4)
+            x = jax.nn.softmax(x, axis=-1)
+            pred_dist = jnp.einsum("bamr,r->bam", x, self.proj)
+        return dist2bbox(pred_dist, self.anchor_points[None], xywh=False, axis=-1)
+
+    # ------------------------------------------------------------------
+    def __call__(self, feats: Sequence[jnp.ndarray], gt_boxes: jnp.ndarray,
+                 gt_labels: jnp.ndarray, gt_mask: jnp.ndarray) -> LossBreakdown:
+        """feats: per-level NHWC raw maps (b, h, w, 4*reg_max + nc).
+        gt_boxes: (b, M, 4) xyxy image pixels; gt_labels: (b, M) int;
+        gt_mask: (b, M) bool/0-1 validity.
+        """
+        b = feats[0].shape[0]
+        no = 4 * self.reg_max + self.nc
+        flat = jnp.concatenate([f.reshape(b, -1, no) for f in feats], axis=1)
+        flat = flat.astype(jnp.float32)
+        pred_distri = flat[..., : 4 * self.reg_max]
+        pred_scores = flat[..., 4 * self.reg_max:]
+
+        pred_bboxes = self.bbox_decode(pred_distri)  # (b, A, 4) feature units
+
+        mask_gt = gt_mask[..., None].astype(jnp.float32)
+        assign = self.assigner(
+            jax.nn.sigmoid(pred_scores),
+            (pred_bboxes * self.stride_tensor).astype(gt_boxes.dtype),
+            self.anchor_points * self.stride_tensor,
+            gt_labels[..., None].astype(jnp.float32),
+            gt_boxes,
+            mask_gt,
+        )
+        target_bboxes = assign.target_bboxes / self.stride_tensor
+        target_scores = assign.target_scores
+        fg_mask = assign.fg_mask
+        target_scores_sum = jnp.maximum(target_scores.sum(), 1.0)
+
+        # BCE cls (`nets/yolo_training.py:420`)
+        bce = optax_sigmoid_bce(pred_scores, target_scores)
+        loss_cls = bce.sum() / target_scores_sum
+
+        # CIoU box + DFL (`BboxLoss`, nets/yolo_training.py:272-303), fg-masked
+        weight = jnp.where(fg_mask, target_scores.sum(-1), 0.0)[..., None]
+        iou = bbox_iou(pred_bboxes, target_bboxes, xywh=False, CIoU=True)
+        loss_box = jnp.where(fg_mask[..., None], (1.0 - iou) * weight, 0.0)
+        loss_box = loss_box.sum() / target_scores_sum
+
+        if self.use_dfl:
+            target_ltrb = bbox2dist(self.anchor_points[None], target_bboxes,
+                                    float(self.reg_max - 1))
+            dist_logits = pred_distri.reshape(b, -1, 4, self.reg_max)
+            dfl = _df_loss(dist_logits, target_ltrb) * weight
+            loss_dfl = jnp.where(fg_mask[..., None], dfl, 0.0).sum() / target_scores_sum
+        else:
+            loss_dfl = jnp.zeros(())
+
+        total = (self.tc.box_gain * loss_box + self.tc.cls_gain * loss_cls +
+                 self.tc.dfl_gain * loss_dfl)
+        return LossBreakdown(total=total, box=loss_box, cls=loss_cls, dfl=loss_dfl)
+
+
+def optax_sigmoid_bce(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
+    """Elementwise BCE-with-logits, torch-equivalent formulation."""
+    return jnp.maximum(logits, 0) - logits * labels + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+
+
+def pad_targets(labels: np.ndarray, batch_size: int, max_boxes: int,
+                input_hw: Tuple[int, int]) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Host-side target preprocessing (`Loss.preprocess`, nets/yolo_training.py:342-358).
+
+    labels: (N, 6) rows [img_idx, cls, cx, cy, w, h] with normalized coords
+    (the collate format of `utils/dataloader_mul.py:382-395`).
+    Returns (gt_boxes (b,M,4) xyxy pixels, gt_labels (b,M), gt_mask (b,M)).
+    Boxes beyond max_boxes are dropped (reference pads to the batch max count;
+    a fixed cap keeps shapes static — overflow is rare at M=64 and logged by
+    the data pipeline).
+    """
+    h, w = input_hw
+    gt_boxes = np.zeros((batch_size, max_boxes, 4), np.float32)
+    gt_labels = np.zeros((batch_size, max_boxes), np.float32)
+    gt_mask = np.zeros((batch_size, max_boxes), np.float32)
+    for j in range(batch_size):
+        rows = labels[labels[:, 0] == j]
+        n = min(len(rows), max_boxes)
+        if n == 0:
+            continue
+        cx, cy = rows[:n, 2] * w, rows[:n, 3] * h
+        bw, bh = rows[:n, 4] * w, rows[:n, 5] * h
+        gt_boxes[j, :n, 0] = cx - bw / 2
+        gt_boxes[j, :n, 1] = cy - bh / 2
+        gt_boxes[j, :n, 2] = cx + bw / 2
+        gt_boxes[j, :n, 3] = cy + bh / 2
+        gt_labels[j, :n] = rows[:n, 1]
+        # reference marks validity by box-sum > 0 (`nets/yolo_training.py:405`)
+        gt_mask[j, :n] = (np.abs(gt_boxes[j, :n]).sum(-1) > 0).astype(np.float32)
+    return gt_boxes, gt_labels, gt_mask

@@ -1,0 +1,345 @@
+"""Training engine: one pjit-compiled train step over a device mesh.
+
+Reference counterpart: `fit_one_epoch` (`utils/utils_fit_mul.py:8-121`) +
+the DDP/DataParallel scaffolding of `train_mul.py`.  Here a single compiled
+program does forward (train-mode BN over the global batch = SyncBN), loss,
+backward, grad-clip, SGD/Adam update and the EMA update; the batch axis is
+sharded over the mesh and XLA inserts the gradient all-reduce over ICI.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, NamedTuple, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+from dcfa_yolo_tpu.config import ModelConfig, TrainConfig
+from dcfa_yolo_tpu.models.yolo import DCFAYolo
+from dcfa_yolo_tpu.parallel.mesh import data_sharding, make_mesh, replicated
+from dcfa_yolo_tpu.train.ema import EMAState, init_ema, update_ema
+from dcfa_yolo_tpu.train.loss import LossBreakdown, YoloLoss
+from dcfa_yolo_tpu.train.optim import build_optimizer, frozen_backbone_mask
+
+
+class TrainState(NamedTuple):
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    ema: EMAState
+
+
+class Batch(NamedTuple):
+    rgb: jnp.ndarray        # (B, H, W, 3) float32 in [0, 1]
+    nir: jnp.ndarray        # (B, H, W, 3)
+    gt_boxes: jnp.ndarray   # (B, M, 4) xyxy pixels
+    gt_labels: jnp.ndarray  # (B, M)
+    gt_mask: jnp.ndarray    # (B, M)
+
+
+def make_train_step(model: DCFAYolo, criterion: YoloLoss, tx,
+                    train_cfg: TrainConfig, freeze_backbone: bool = False):
+    """Returns step(state, batch, lr) -> (state, LossBreakdown)."""
+
+    def step(state: TrainState, batch: Batch, lr: jnp.ndarray):
+        def loss_fn(params):
+            out, mutated = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                batch.rgb, batch.nir, train=True, mutable=["batch_stats"])
+            lb = criterion(out.feats, batch.gt_boxes, batch.gt_labels, batch.gt_mask)
+            return lb.total, (lb, mutated["batch_stats"])
+
+        grads, (lb, new_stats) = jax.grad(loss_fn, has_aux=True)(state.params)
+        if freeze_backbone:
+            mask = frozen_backbone_mask(state.params)
+            grads = jax.tree_util.tree_map(
+                lambda g, m: jnp.zeros_like(g) if m else g, grads, mask)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        if freeze_backbone:
+            # also mask the transformed updates: weight decay would otherwise
+            # still move frozen params (torch skips grad-None params entirely)
+            updates = jax.tree_util.tree_map(
+                lambda u, m: jnp.zeros_like(u) if m else u, updates, mask)
+        updates = jax.tree_util.tree_map(lambda u: u * lr, updates)
+        new_params = optax.apply_updates(state.params, updates)
+        new_ema = update_ema(
+            state.ema, {"params": new_params, "batch_stats": new_stats},
+            decay=train_cfg.ema_decay, tau=train_cfg.ema_tau)
+        return TrainState(new_params, new_stats, new_opt, new_ema), lb
+
+    return step
+
+
+def make_split_train_step(model: DCFAYolo, criterion: YoloLoss, tx,
+                          train_cfg: TrainConfig, mesh,
+                          freeze_backbone: bool = False):
+    """Two-program DP train step: (1) per-device fwd/bwd under shard_map with
+    NO cross-device collectives (BatchNorm uses local per-device batch moments
+    — torch-DDP-without-SyncBN semantics, the reference's non-distributed
+    default), emitting device-stacked grads/stats; (2) a conv-free reducer
+    program that averages them and applies the optimizer + EMA.
+
+    Motivation: XLA:CPU's in-program collectives deadlock when a collective
+    awaits on the lone Eigen worker thread of a 1-core host while another
+    virtual device still needs it for conv work.  Keeping program (1) free of
+    collectives makes the multi-device path executable anywhere; program (2)'s
+    all-reduce is collective-only and never starves.  On real multi-chip TPU
+    the fused step (make_train_step) overlaps the gradient all-reduce with the
+    backward pass and is preferred.
+    """
+    from jax.sharding import PartitionSpec as P
+    from jax import shard_map
+
+    def local_grads(params, batch_stats, batch: Batch):
+        def loss_fn(p):
+            out, mutated = model.apply(
+                {"params": p, "batch_stats": batch_stats},
+                batch.rgb, batch.nir, train=True, mutable=["batch_stats"])
+            lb = criterion(out.feats, batch.gt_boxes, batch.gt_labels, batch.gt_mask)
+            return lb.total, (lb, mutated["batch_stats"])
+
+        grads, (lb, new_stats) = jax.grad(loss_fn, has_aux=True)(params)
+        stack = lambda t: jax.tree_util.tree_map(lambda x: x[None], t)
+        return stack(grads), stack(lb), stack(new_stats)
+
+    batch_spec = Batch(P("data"), P("data"), P("data"), P("data"), P("data"))
+    sharded_grads = shard_map(
+        local_grads, mesh=mesh,
+        in_specs=(P(), P(), batch_spec),
+        out_specs=(P("data"), P("data"), P("data")),
+        check_vma=False)
+
+    def reduce_and_update(state: TrainState, stacked_grads, stacked_lb,
+                          stacked_stats, lr):
+        mean0 = lambda t: jax.tree_util.tree_map(lambda x: jnp.mean(x, axis=0), t)
+        grads = mean0(stacked_grads)
+        lb = mean0(stacked_lb)
+        new_stats = mean0(stacked_stats)
+        if freeze_backbone:
+            mask = frozen_backbone_mask(state.params)
+            grads = jax.tree_util.tree_map(
+                lambda g, m: jnp.zeros_like(g) if m else g, grads, mask)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        if freeze_backbone:
+            updates = jax.tree_util.tree_map(
+                lambda u, m: jnp.zeros_like(u) if m else u, updates, mask)
+        updates = jax.tree_util.tree_map(lambda u: u * lr, updates)
+        new_params = optax.apply_updates(state.params, updates)
+        new_ema = update_ema(
+            state.ema, {"params": new_params, "batch_stats": new_stats},
+            decay=train_cfg.ema_decay, tau=train_cfg.ema_tau)
+        return TrainState(new_params, new_stats, new_opt, new_ema), lb
+
+    def step(state: TrainState, batch: Batch, lr: jnp.ndarray):
+        g, lb, s = sharded_grads(state.params, state.batch_stats, batch)
+        return reduce_and_update(state, g, lb, s, lr)
+
+    return step, sharded_grads, reduce_and_update
+
+
+def make_eval_step(model: DCFAYolo, criterion: YoloLoss, use_ema: bool = True):
+    """Validation loss with EMA weights, eval-mode BN
+    (`utils/utils_fit_mul.py:71-98`)."""
+
+    def step(state: TrainState, batch: Batch) -> LossBreakdown:
+        variables = state.ema.variables if use_ema else {
+            "params": state.params, "batch_stats": state.batch_stats}
+        out = model.apply(variables, batch.rgb, batch.nir, train=False)
+        return criterion(out.feats, batch.gt_boxes, batch.gt_labels, batch.gt_mask)
+
+    return step
+
+
+class Trainer:
+    """Owns state + compiled steps; epoch orchestration lives in the CLI."""
+
+    def __init__(
+        self,
+        model: DCFAYolo,
+        variables,
+        train_cfg: TrainConfig = TrainConfig(),
+        mesh=None,
+        ema_updates: int = 0,
+        train_bifpn: bool = True,
+        step_mode: str = "auto",
+        pack_state: bool = False,
+    ):
+        """step_mode: 'fused' — one pjit program (grad all-reduce overlapped
+        with backward; SyncBN semantics; the multi-chip TPU default);
+        'split' — shard_map local grads + separate conv-free reducer (local-BN
+        DDP semantics; safe on XLA:CPU virtual meshes, see
+        make_split_train_step); 'auto' — fused on a 1-device mesh or TPU,
+        split on a multi-device CPU mesh."""
+        self.model = model
+        self.cfg = model.cfg
+        self.tc = train_cfg
+        self.mesh = mesh if mesh is not None else make_mesh()
+        n_dev = len(self.mesh.devices.flatten())
+        if step_mode == "auto":
+            is_cpu = self.mesh.devices.flatten()[0].platform == "cpu"
+            step_mode = "split" if (is_cpu and n_dev > 1) else "fused"
+        self.step_mode = step_mode
+        self.criterion = YoloLoss(self.cfg, train_cfg)
+        self.tx = build_optimizer(train_cfg, variables["params"], train_bifpn)
+        # jit the (pure) state constructors: eager per-op dispatch is an RPC
+        # per op on remote platforms and O(n_params) ops otherwise
+        opt_state = jax.jit(self.tx.init)(variables["params"])
+        ema = jax.jit(lambda v: init_ema(v, ema_updates))(
+            {"params": variables["params"],
+             "batch_stats": variables["batch_stats"]})
+        state0 = TrainState(variables["params"], variables["batch_stats"],
+                            opt_state, ema)
+
+        rep = replicated(self.mesh)
+        dat = data_sharding(self.mesh)
+        batch_sh = Batch(dat, dat, dat, dat, dat)
+
+        self._steps = {}
+        self.pack_state = pack_state and step_mode == "fused"
+        if step_mode == "fused" and self.pack_state:
+            # Optional: pack the whole TrainState (~3000 leaves) into ONE flat
+            # device buffer, so remote-dispatch platforms pay one per-output
+            # handle cost instead of thousands.  Costs extra compile time
+            # (6000 slice/update ops), so it is opt-in.
+            from jax.flatten_util import ravel_pytree
+
+            host_template = jax.tree_util.tree_map(
+                lambda x: np.zeros(x.shape, x.dtype), state0)
+            _, self._unravel = ravel_pytree(host_template)
+            self._flatten_jit = jax.jit(lambda s: ravel_pytree(s)[0],
+                                        out_shardings=rep)
+            self._unravel_jit = jax.jit(self._unravel, out_shardings=rep)
+            self._flat_state = self._flatten_jit(state0)
+            unravel = self._unravel
+
+            for freeze in (False, True):
+                raw = make_train_step(model, self.criterion, self.tx, train_cfg,
+                                      freeze)
+
+                def flat_step(flat, batch, lr, _raw=raw):
+                    state = unravel(flat)
+                    new_state, lb = _raw(state, batch, lr)
+                    return ravel_pytree(new_state)[0], lb
+
+                self._steps[freeze] = jax.jit(
+                    flat_step,
+                    in_shardings=(rep, batch_sh, None),
+                    out_shardings=(rep, rep),
+                    donate_argnums=(0,),
+                )
+            raw_eval = make_eval_step(model, self.criterion)
+            self._eval = jax.jit(
+                lambda flat, batch: raw_eval(unravel(flat), batch),
+                in_shardings=(rep, batch_sh),
+                out_shardings=rep,
+            )
+        elif step_mode == "fused":
+            self._state = state0
+            for freeze in (False, True):
+                raw = make_train_step(model, self.criterion, self.tx, train_cfg,
+                                      freeze)
+                self._steps[freeze] = jax.jit(
+                    raw,
+                    in_shardings=(rep, batch_sh, None),
+                    out_shardings=(rep, rep),
+                    donate_argnums=(0,),
+                )
+            self._eval = jax.jit(
+                make_eval_step(model, self.criterion),
+                in_shardings=(rep, batch_sh),
+                out_shardings=rep,
+            )
+        else:
+            self._state = state0
+            for freeze in (False, True):
+                _, sharded_grads, reduce_fn = make_split_train_step(
+                    model, self.criterion, self.tx, train_cfg, self.mesh, freeze)
+                # two SEPARATE compiled programs; composing them in one jit
+                # would re-fuse convs with the all-reduce and re-create the
+                # XLA:CPU deadlock this mode exists to avoid
+                gfn = jax.jit(sharded_grads)
+                rfn = jax.jit(reduce_fn, donate_argnums=(0,))
+                self._steps[freeze] = (gfn, rfn)
+            self._eval = self._make_split_eval(batch_sh)
+
+    def _make_split_eval(self, batch_sh):
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        model, criterion = self.model, self.criterion
+
+        def local_eval(ema_vars, batch: Batch):
+            out = model.apply(ema_vars, batch.rgb, batch.nir, train=False)
+            lb = criterion(out.feats, batch.gt_boxes, batch.gt_labels,
+                           batch.gt_mask)
+            return jax.tree_util.tree_map(lambda x: x[None], lb)
+
+        batch_spec = Batch(*([P("data")] * 5))
+        sharded = shard_map(local_eval, mesh=self.mesh,
+                            in_specs=(P(), batch_spec), out_specs=P("data"),
+                            check_vma=False)
+        jitted = jax.jit(sharded)
+
+        def eval_fn(state: TrainState, batch: Batch) -> LossBreakdown:
+            stacked = jitted(state.ema.variables, batch)
+            return jax.tree_util.tree_map(lambda x: float(np.mean(x)), stacked)
+
+        return eval_fn
+
+    # ------------------------------------------------------------------
+    @property
+    def state(self) -> TrainState:
+        """Materialized TrainState pytree (unpacks the flat buffer when
+        pack_state is on — use sparingly on remote platforms, e.g. once per
+        epoch for checkpointing)."""
+        if self.pack_state:
+            return self._unravel_jit(self._flat_state)
+        return self._state
+
+    @state.setter
+    def state(self, new_state: TrainState) -> None:
+        if self.pack_state:
+            self._flat_state = self._flatten_jit(new_state)
+        else:
+            self._state = new_state
+
+    # ------------------------------------------------------------------
+    def put_batch(self, rgb, nir, gt_boxes, gt_labels, gt_mask) -> Batch:
+        sh = data_sharding(self.mesh)
+        return Batch(*[jax.device_put(np.asarray(x), sh)
+                       for x in (rgb, nir, gt_boxes, gt_labels, gt_mask)])
+
+    def train_step(self, batch: Batch, lr: float, freeze_backbone: bool = False
+                   ) -> LossBreakdown:
+        """One step.  The returned LossBreakdown holds device scalars — call
+        float() on them only when you need the value (forcing a host sync every
+        step serializes dispatch on remote platforms)."""
+        lr_arr = jnp.asarray(lr, jnp.float32)
+        if self.step_mode == "fused":
+            if self.pack_state:
+                self._flat_state, lb = self._steps[freeze_backbone](
+                    self._flat_state, batch, lr_arr)
+            else:
+                self._state, lb = self._steps[freeze_backbone](
+                    self._state, batch, lr_arr)
+            return lb
+        gfn, rfn = self._steps[freeze_backbone]
+        g, lb_stacked, s = gfn(self._state.params, self._state.batch_stats, batch)
+        self._state, lb = rfn(self._state, g, lb_stacked, s, lr_arr)
+        return lb
+
+    def eval_step(self, batch: Batch) -> LossBreakdown:
+        if self.pack_state:
+            return self._eval(self._flat_state, batch)
+        return self._eval(self._state, batch)
+
+    # ------------------------------------------------------------------
+    def ema_variables(self):
+        return self.state.ema.variables
+
+    def raw_variables(self):
+        st = self.state
+        return {"params": st.params, "batch_stats": st.batch_stats}

@@ -26,7 +26,10 @@ def save_checkpoint(path: str, payload: Dict[str, Any]) -> None:
     from flax import serialization
 
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
-    data = serialization.msgpack_serialize(_to_numpy_tree(payload))
+    # to_state_dict flattens tuples/namedtuples (e.g. optax chain states) into
+    # plain dicts msgpack can serialize
+    state = serialization.to_state_dict(_to_numpy_tree(payload))
+    data = serialization.msgpack_serialize(state)
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
         f.write(data)
@@ -34,10 +37,17 @@ def save_checkpoint(path: str, payload: Dict[str, Any]) -> None:
 
 
 def load_checkpoint(path: str) -> Dict[str, Any]:
+    with open(path, "rb") as f:
+        from flax import serialization
+
+        return serialization.msgpack_restore(f.read())
+
+
+def restore_into(target, state_dict):
+    """Rebuild a typed pytree (e.g. an optax state) from a loaded state dict."""
     from flax import serialization
 
-    with open(path, "rb") as f:
-        return serialization.msgpack_restore(f.read())
+    return serialization.from_state_dict(target, state_dict)
 
 
 def load_variables(path: str, variables_template=None, duplicate_single_backbone: bool = True):

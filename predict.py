@@ -1,0 +1,91 @@
+"""Inference CLI — counterpart of `predict_mul.py` (modes: predict / fps /
+dir_predict / heatmap)."""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description="DCFA-YOLO TPU inference")
+    p.add_argument("--mode", default="predict",
+                   choices=["predict", "fps", "dir_predict", "heatmap"])
+    p.add_argument("--model-path", default="", help=".ckpt/.pth/.npz weights")
+    p.add_argument("--classes-path", default="model_data/voc_classes.txt")
+    p.add_argument("--input-shape", type=int, nargs=2, default=[640, 640])
+    p.add_argument("--phi", default="n")
+    p.add_argument("--confidence", type=float, default=0.5)
+    p.add_argument("--nms-iou", type=float, default=0.3)
+    p.add_argument("--rgb", help="RGB image path (predict/fps/heatmap)")
+    p.add_argument("--nir", help="NIR image path (predict/fps/heatmap)")
+    p.add_argument("--test-interval", type=int, default=100)
+    p.add_argument("--dir-origin-path", default="img/")
+    p.add_argument("--dir-save-path", default="img_out/")
+    p.add_argument("--heatmap-save-path", default="model_data/heatmap_vision.png")
+    p.add_argument("--output", default="", help="save annotated image here")
+    p.add_argument("--compute-dtype", default="bfloat16",
+                   choices=["float32", "bfloat16"])
+    p.add_argument("--deploy", action="store_true",
+                   help="use the re-parameterized (fused RepGhost) graph")
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    from PIL import Image
+    from dcfa_yolo_tpu.utils.jaxcache import enable_persistent_cache
+
+    enable_persistent_cache()
+
+    from dcfa_yolo_tpu.infer.predictor import YOLOPredictor
+
+    predictor = YOLOPredictor(
+        model_path=args.model_path or None, classes_path=args.classes_path,
+        input_shape=tuple(args.input_shape), phi=args.phi,
+        confidence=args.confidence, nms_iou=args.nms_iou,
+        compute_dtype=args.compute_dtype, deploy=args.deploy)
+    if args.deploy and args.model_path:
+        from dcfa_yolo_tpu.models.reparam import deploy_variables
+
+        predictor.variables = deploy_variables(predictor.variables)
+
+    def load_pair(rgb_path, nir_path):
+        return Image.open(rgb_path), Image.open(nir_path)
+
+    if args.mode == "predict":
+        rgb, nir = load_pair(args.rgb, args.nir)
+        out = predictor.detect_image(rgb, nir)
+        if args.output:
+            out.save(args.output)
+            print(f"saved {args.output}")
+        else:
+            out.show()
+    elif args.mode == "fps":
+        rgb, nir = load_pair(args.rgb, args.nir)
+        tact = predictor.get_fps(rgb, nir, args.test_interval)
+        print(f"{tact:.6f} seconds, {1 / tact:.2f} FPS, @batch_size 1")
+    elif args.mode == "dir_predict":
+        os.makedirs(args.dir_save_path, exist_ok=True)
+        rgb_dir = os.path.join(args.dir_origin_path, "rgb")
+        nir_dir = os.path.join(args.dir_origin_path, "nir")
+        for name in sorted(os.listdir(rgb_dir)):
+            if not name.lower().endswith(
+                    (".bmp", ".jpg", ".jpeg", ".png", ".tif", ".tiff")):
+                continue
+            rgb = Image.open(os.path.join(rgb_dir, name))
+            nir = Image.open(os.path.join(nir_dir, name))
+            out = predictor.detect_image(rgb, nir)
+            out.save(os.path.join(args.dir_save_path, name), quality=95,
+                     subsampling=0)
+            print(name)
+    elif args.mode == "heatmap":
+        rgb, nir = load_pair(args.rgb, args.nir)
+        predictor.detect_heatmap(rgb, nir, args.heatmap_save_path)
+
+
+if __name__ == "__main__":
+    main()

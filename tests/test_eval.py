@@ -1,0 +1,82 @@
+"""mAP harness tests: VOC protocol vs reference golden, COCO AP sanity."""
+
+import json
+import os
+import shutil
+
+import numpy as np
+import pytest
+
+from dcfa_yolo_tpu.evalmap.coco_map import get_coco_map
+from dcfa_yolo_tpu.evalmap.voc_map import get_map, voc_ap
+
+GOLDEN_DIR = "tests/goldens"
+
+
+class TestVocMap:
+    def test_matches_reference_golden(self, tmp_path):
+        src = os.path.join(GOLDEN_DIR, "map_files")
+        work = tmp_path / "map"
+        shutil.copytree(src, work)
+        with open(os.path.join(GOLDEN_DIR, "map_golden.json")) as f:
+            ref = json.load(f)["map50"]
+        mine = get_map(0.5, False, score_threshold=0.5, path=str(work))
+        np.testing.assert_allclose(mine, ref, atol=1e-10)
+
+    def test_voc_ap_known_value(self):
+        # single det matching single gt: P=1 at R=1 → AP = 1
+        ap, _, _ = voc_ap([1.0], [1.0])
+        assert ap == 1.0
+        # P=0.5 at all recalls → AP 0.5
+        ap, _, _ = voc_ap([0.5, 1.0], [0.5, 0.5])
+        assert ap == pytest.approx(0.5)
+
+
+class TestCocoMap:
+    def _write(self, base, gt, dr):
+        os.makedirs(base / "ground-truth", exist_ok=True)
+        os.makedirs(base / "detection-results", exist_ok=True)
+        for fid, lines in gt.items():
+            (base / "ground-truth" / f"{fid}.txt").write_text("".join(lines))
+        for fid, lines in dr.items():
+            (base / "detection-results" / f"{fid}.txt").write_text("".join(lines))
+
+    def test_perfect_detections(self, tmp_path):
+        gt = {"a": ["c 10 10 50 50\n", "c 60 60 100 100\n"]}
+        dr = {"a": ["c 0.9 10 10 50 50\n", "c 0.8 60 60 100 100\n"]}
+        self._write(tmp_path, gt, dr)
+        ap, ap50 = get_coco_map(["c"], path=str(tmp_path))
+        assert ap50 == pytest.approx(1.0)
+        assert ap == pytest.approx(1.0)
+
+    def test_half_detections(self, tmp_path):
+        gt = {"a": ["c 10 10 50 50\n", "c 200 200 240 240\n"]}
+        dr = {"a": ["c 0.9 10 10 50 50\n"]}  # one of two found
+        self._write(tmp_path, gt, dr)
+        ap, ap50 = get_coco_map(["c"], path=str(tmp_path))
+        # precision 1 up to recall 0.5 → 101-pt AP ≈ 51/101
+        assert ap50 == pytest.approx(51 / 101, abs=1e-6)
+
+    def test_localization_quality_affects_high_iou(self, tmp_path):
+        # det overlaps gt with IoU ≈ 0.62 → counts at 0.5-0.6, not at 0.65+
+        gt = {"a": ["c 0 0 100 100\n"]}
+        dr = {"a": ["c 0.9 0 0 80 100\n"]}  # IoU = 0.8
+        self._write(tmp_path, gt, dr)
+        ap, ap50 = get_coco_map(["c"], path=str(tmp_path))
+        assert ap50 == pytest.approx(1.0)
+        assert ap < 1.0  # fails at IoU .85/.9/.95
+
+
+class TestEvalCallbackVocFallback:
+    def test_mixed_difficult_gt(self, tmp_path):
+        """difficult gt: matched dets are neither TP nor FP."""
+        gt = {"a": ["c 10 10 50 50 difficult\n", "c 100 100 150 150\n"]}
+        dr = {"a": ["c 0.95 10 10 50 50\n", "c 0.9 100 100 150 150\n"]}
+        os.makedirs(tmp_path / "ground-truth", exist_ok=True)
+        os.makedirs(tmp_path / "detection-results", exist_ok=True)
+        for fid, lines in gt.items():
+            (tmp_path / "ground-truth" / f"{fid}.txt").write_text("".join(lines))
+        for fid, lines in dr.items():
+            (tmp_path / "detection-results" / f"{fid}.txt").write_text("".join(lines))
+        m = get_map(0.5, False, path=str(tmp_path))
+        assert m == pytest.approx(1.0)

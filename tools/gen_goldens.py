@@ -40,6 +40,14 @@ if "torchvision" not in sys.modules:
     sys.modules["torchvision"] = tv
     sys.modules["torchvision.ops"] = tv_ops
 
+for _mod in ("terminaltables", "pycocotools", "pycocotools.coco",
+             "pycocotools.cocoeval"):
+    if _mod not in sys.modules:
+        stub = types.ModuleType(_mod)
+        if _mod == "terminaltables":
+            stub.AsciiTable = lambda data: types.SimpleNamespace(table=str(data))
+        sys.modules[_mod] = stub
+
 if "pkg_resources" not in sys.modules:
     try:
         import pkg_resources  # noqa: F401
@@ -190,6 +198,150 @@ def main() -> None:
 
     np.savez_compressed(os.path.join(OUT, "ops.npz"), **ops)
     print("ops.npz written")
+
+    gen_loss_goldens()
+
+
+def gen_loss_goldens() -> None:
+    """Assigner + full-loss goldens from the reference training criterion."""
+    from nets.yolo_training import Loss, TaskAlignedAssigner
+    from nets.yolo_mul import YoloBody
+
+    tr = {}
+    rng = np.random.Generator(np.random.PCG64(11))
+
+    # ---- assigner golden (b=2, A=336, nc=3, M=8) ----
+    b, a, nc, m = 2, 336, 3, 8
+    pd_scores = rng.uniform(0, 1, (b, a, nc)).astype(np.float32)
+    anc = rng.uniform(0, 128, (a, 2)).astype(np.float32)
+    cxy = rng.uniform(10, 118, (b, a, 2)).astype(np.float32)
+    wh = rng.uniform(4, 60, (b, a, 2)).astype(np.float32)
+    pd_bboxes = np.concatenate([cxy - wh / 2, cxy + wh / 2], -1)
+    gxy = rng.uniform(20, 100, (b, m, 2)).astype(np.float32)
+    gwh = rng.uniform(10, 50, (b, m, 2)).astype(np.float32)
+    gt_bboxes = np.concatenate([gxy - gwh / 2, gxy + gwh / 2], -1)
+    gt_labels = rng.integers(0, nc, (b, m, 1)).astype(np.float32)
+    # pad out the tail rows like the reference's preprocess does
+    gt_bboxes[0, 6:] = 0
+    gt_bboxes[1, 3:] = 0
+    mask_gt = (gt_bboxes.sum(2, keepdims=True) > 0).astype(np.float32)
+    gt_labels = gt_labels * mask_gt
+
+    assigner = TaskAlignedAssigner(topk=10, num_classes=nc, alpha=0.5, beta=6.0,
+                                   roll_out_thr=64)
+    t_labels, t_bboxes, t_scores, fg, t_idx = assigner(
+        torch.from_numpy(pd_scores), torch.from_numpy(pd_bboxes),
+        torch.from_numpy(anc), torch.from_numpy(gt_labels),
+        torch.from_numpy(gt_bboxes), torch.from_numpy(mask_gt))
+    tr.update(
+        as_pd_scores=pd_scores, as_anc=anc, as_pd_bboxes=pd_bboxes,
+        as_gt_bboxes=gt_bboxes, as_gt_labels=gt_labels, as_mask_gt=mask_gt,
+        as_t_bboxes=t_bboxes.numpy(), as_t_scores=t_scores.numpy(),
+        as_fg=fg.numpy(), as_t_labels=t_labels.numpy())
+
+    # ---- full loss golden at 128x128, nc=3, b=2 ----
+    model = YoloBody(input_shape=(128, 128), num_classes=nc, phi="n")
+    criterion = Loss(model)
+    feats = [
+        (rng.standard_normal((2, 64 + nc, 16, 16)) * 2).astype(np.float32),
+        (rng.standard_normal((2, 64 + nc, 8, 8)) * 2).astype(np.float32),
+        (rng.standard_normal((2, 64 + nc, 4, 4)) * 2).astype(np.float32),
+    ]
+    n_boxes = [5, 3]
+    rows = []
+    for j, nb in enumerate(n_boxes):
+        cx = rng.uniform(0.2, 0.8, nb)
+        cy = rng.uniform(0.2, 0.8, nb)
+        w = rng.uniform(0.05, 0.3, nb)
+        h = rng.uniform(0.05, 0.3, nb)
+        cls = rng.integers(0, nc, nb)
+        for i in range(nb):
+            rows.append([j, cls[i], cx[i], cy[i], w[i], h[i]])
+    targets = np.array(rows, dtype=np.float32)
+    loss_val = criterion([torch.from_numpy(f) for f in feats],
+                         torch.from_numpy(targets))
+    tr.update(loss_feat_p3=feats[0], loss_feat_p4=feats[1], loss_feat_p5=feats[2],
+              loss_targets=targets, loss_total=np.float32(loss_val.item()))
+
+    # empty-target variant (zero boxes for the whole batch)
+    loss_empty = criterion([torch.from_numpy(f) for f in feats],
+                           torch.from_numpy(np.zeros((0, 6), np.float32)))
+    tr["loss_total_empty"] = np.float32(loss_empty.item())
+
+    # ---- LR schedule goldens (`get_lr_scheduler`, nets/yolo_training.py:500-536) ----
+    from nets.yolo_training import get_lr_scheduler
+
+    cos_fn = get_lr_scheduler("cos", 0.01, 0.0001, 200)
+    step_fn = get_lr_scheduler("step", 0.01, 0.0001, 200)
+    epochs = np.arange(200, dtype=np.float64)
+    tr["lr_cos"] = np.array([cos_fn(e) for e in epochs], np.float64)
+    tr["lr_step"] = np.array([step_fn(e) for e in epochs], np.float64)
+
+    np.savez_compressed(os.path.join(OUT, "train.npz"), **tr)
+    print("train.npz written; loss =", float(loss_val), "empty =", float(loss_empty))
+
+    gen_map_golden()
+
+
+def gen_map_golden() -> None:
+    """Golden mAP value from the reference `get_map` on a synthetic det set."""
+    import json
+    import shutil
+
+    rng = np.random.Generator(np.random.PCG64(3))
+    tmp = os.path.join("/tmp", "map_golden")
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(os.path.join(tmp, "ground-truth"))
+    os.makedirs(os.path.join(tmp, "detection-results"))
+    classes = ["tomato", "leaf"]
+    n_images = 12
+    for i in range(n_images):
+        fid = f"{i:06d}"
+        with open(os.path.join(tmp, "ground-truth", fid + ".txt"), "w") as f:
+            for _ in range(int(rng.integers(0, 5))):
+                c = classes[int(rng.integers(0, 2))]
+                x1, y1 = rng.integers(0, 400, 2)
+                w, h = rng.integers(20, 200, 2)
+                suffix = " difficult" if rng.random() < 0.15 else ""
+                f.write(f"{c} {x1} {y1} {x1 + w} {y1 + h}{suffix}\n")
+        with open(os.path.join(tmp, "detection-results", fid + ".txt"), "w") as f:
+            for _ in range(int(rng.integers(0, 8))):
+                c = classes[int(rng.integers(0, 2))]
+                x1, y1 = rng.integers(0, 400, 2)
+                w, h = rng.integers(20, 200, 2)
+                conf = rng.random()
+                f.write(f"{c} {conf:.6f} {x1} {y1} {x1 + w} {y1 + h}\n")
+    # jittered copies of gt as extra detections so some TPs exist
+    for i in range(n_images):
+        fid = f"{i:06d}"
+        with open(os.path.join(tmp, "ground-truth", fid + ".txt")) as f:
+            gt_lines = [l.split() for l in f if l.strip()]
+        with open(os.path.join(tmp, "detection-results", fid + ".txt"), "a") as f:
+            for parts in gt_lines:
+                if rng.random() < 0.7:
+                    name = parts[0]
+                    coords = [float(x) for x in parts[1:5]]
+                    jit = rng.normal(0, 6, 4)
+                    conf = rng.random() * 0.5 + 0.5
+                    f.write(f"{name} {conf:.6f} " +
+                            " ".join(str(int(c + j)) for c, j in zip(coords, jit)) + "\n")
+
+    from utils import utils_map
+
+    cwd = os.getcwd()
+    os.chdir("/tmp")  # reference writes ./map_out relative paths in voc_ap
+    os.makedirs("/tmp/map_out/results", exist_ok=True)
+    try:
+        ref_map = utils_map.get_map(0.5, False, score_threhold=0.5, path=tmp)
+    finally:
+        os.chdir(cwd)
+    # snapshot the txt files into the goldens dir for the JAX-side test
+    golden_dir = os.path.join(OUT, "map_files")
+    shutil.rmtree(golden_dir, ignore_errors=True)
+    shutil.copytree(tmp, golden_dir, ignore=shutil.ignore_patterns("results", ".temp*"))
+    with open(os.path.join(OUT, "map_golden.json"), "w") as f:
+        json.dump({"map50": float(ref_map)}, f)
+    print("map golden:", ref_map)
 
 
 if __name__ == "__main__":

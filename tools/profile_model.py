@@ -3,8 +3,11 @@
 Usage: python tools/profile_model.py [batch] [size] [dtype]
 """
 
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 import jax

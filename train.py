@@ -1,0 +1,198 @@
+"""Training entry point — counterpart of the reference `train_mul.py`.
+
+The reference configures via ~30 hardcoded variables (`train_mul.py:22-110`);
+here the same knobs are argparse flags with identical defaults, plus the typed
+configs in `dcfa_yolo_tpu.config`.  Distribution needs no flags: the train step
+is compiled over every visible device (DP over a 1-D mesh); on a multi-host
+slice call `jax.distributed.initialize()` first (env-driven, like the
+reference's DDP env-var init at `train_mul.py:115-127`).
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description="Train DCFA-YOLO (TPU-native)")
+    p.add_argument("--classes-path", default="model_data/voc_classes.txt")
+    p.add_argument("--train-annotation", default="2007_train.txt")
+    p.add_argument("--val-annotation", default="2007_val.txt")
+    p.add_argument("--model-path", default="", help="checkpoint to load (.ckpt/.pth/.npz)")
+    p.add_argument("--input-shape", type=int, nargs=2, default=[640, 640])
+    p.add_argument("--phi", default="n", choices=list("nsmlx"))
+    p.add_argument("--init-epoch", type=int, default=0)
+    p.add_argument("--freeze-epoch", type=int, default=0)
+    p.add_argument("--unfreeze-epoch", type=int, default=200)
+    p.add_argument("--freeze-train", action="store_true")
+    p.add_argument("--batch-size", type=int, default=16)
+    p.add_argument("--optimizer", default="sgd", choices=["sgd", "adam"])
+    p.add_argument("--init-lr", type=float, default=1e-2)
+    p.add_argument("--min-lr-ratio", type=float, default=0.01)
+    p.add_argument("--momentum", type=float, default=0.937)
+    p.add_argument("--weight-decay", type=float, default=5e-4)
+    p.add_argument("--lr-decay-type", default="cos", choices=["cos", "step"])
+    p.add_argument("--no-mosaic", action="store_true")
+    p.add_argument("--no-mixup", action="store_true")
+    p.add_argument("--mosaic-prob", type=float, default=0.5)
+    p.add_argument("--mixup-prob", type=float, default=0.5)
+    p.add_argument("--special-aug-ratio", type=float, default=0.7)
+    p.add_argument("--max-boxes", type=int, default=64)
+    p.add_argument("--save-period", type=int, default=20)
+    p.add_argument("--eval-period", type=int, default=20)
+    p.add_argument("--no-eval", action="store_true")
+    p.add_argument("--save-dir", default="logs")
+    p.add_argument("--num-workers", type=int, default=4)
+    p.add_argument("--seed", type=int, default=11)
+    p.add_argument("--compute-dtype", default="bfloat16",
+                   choices=["float32", "bfloat16"])
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    import jax
+    import random as py_random
+
+    from dcfa_yolo_tpu.config import ModelConfig, TrainConfig
+    from dcfa_yolo_tpu.data.loader import BatchLoader, PairedDetectionDataset
+    from dcfa_yolo_tpu.infer.predictor import YOLOPredictor, get_classes
+    from dcfa_yolo_tpu.models.yolo import DCFAYolo, init_model
+    from dcfa_yolo_tpu.train.schedule import get_lr_scheduler
+    from dcfa_yolo_tpu.train.trainer import Trainer
+    from dcfa_yolo_tpu.utils.callbacks import EvalCallback, LossHistory
+    from dcfa_yolo_tpu.utils.checkpoint import load_variables, save_checkpoint
+
+    from dcfa_yolo_tpu.utils.jaxcache import enable_persistent_cache
+
+    enable_persistent_cache()
+    py_random.seed(args.seed)
+    np.random.seed(args.seed)
+
+    class_names, num_classes = get_classes(args.classes_path)
+    cfg = ModelConfig(num_classes=num_classes, phi=args.phi,
+                      input_shape=tuple(args.input_shape),
+                      compute_dtype=args.compute_dtype)
+    tc = TrainConfig(
+        seed=args.seed, init_epoch=args.init_epoch, freeze_epoch=args.freeze_epoch,
+        unfreeze_epoch=args.unfreeze_epoch, freeze_train=args.freeze_train,
+        batch_size=args.batch_size, optimizer_type=args.optimizer,
+        init_lr=args.init_lr, min_lr_ratio=args.min_lr_ratio,
+        momentum=args.momentum, weight_decay=args.weight_decay,
+        lr_decay_type=args.lr_decay_type, max_boxes=args.max_boxes,
+        mosaic=not args.no_mosaic, mosaic_prob=args.mosaic_prob,
+        mixup=not args.no_mixup, mixup_prob=args.mixup_prob,
+        special_aug_ratio=args.special_aug_ratio, save_period=args.save_period,
+        eval_period=args.eval_period, save_dir=args.save_dir)
+
+    model, variables = init_model(cfg, jax.random.PRNGKey(args.seed))
+    if args.model_path:
+        print(f"Load weights {args.model_path}.")
+        variables = load_variables(args.model_path, variables)
+
+    with open(args.train_annotation, encoding="utf-8") as f:
+        train_lines = f.readlines()
+    with open(args.val_annotation, encoding="utf-8") as f:
+        val_lines = f.readlines()
+    num_train, num_val = len(train_lines), len(val_lines)
+
+    epoch_step = num_train // args.batch_size
+    epoch_step_val = max(num_val // args.batch_size, 1)
+    if epoch_step == 0:
+        raise ValueError("dataset too small for this batch size")
+
+    train_ds = PairedDetectionDataset(
+        train_lines, cfg.input_shape, train=True, mosaic=tc.mosaic,
+        mosaic_prob=tc.mosaic_prob, mixup=tc.mixup, mixup_prob=tc.mixup_prob,
+        special_aug_ratio=tc.special_aug_ratio, epoch_length=tc.unfreeze_epoch)
+    val_ds = PairedDetectionDataset(val_lines, cfg.input_shape, train=False,
+                                    mosaic=False, mixup=False)
+    train_loader = BatchLoader(train_ds, args.batch_size, tc.max_boxes,
+                               shuffle=True, num_workers=args.num_workers,
+                               seed=args.seed)
+    val_loader = BatchLoader(val_ds, args.batch_size, tc.max_boxes,
+                             shuffle=False, num_workers=args.num_workers,
+                             seed=args.seed)
+
+    time_str = datetime.datetime.now().strftime("%Y_%m_%d_%H_%M_%S")
+    log_dir = os.path.join(args.save_dir, "loss_" + time_str)
+    loss_history = LossHistory(log_dir)
+
+    def predictor_factory(vars_, conf, nms_iou, max_boxes):
+        return YOLOPredictor(class_names=class_names, input_shape=cfg.input_shape,
+                             phi=args.phi, confidence=conf, nms_iou=nms_iou,
+                             max_det=max_boxes, variables=vars_,
+                             compute_dtype=args.compute_dtype)
+
+    eval_cb = EvalCallback(predictor_factory, class_names, val_lines, log_dir,
+                           eval_flag=not args.no_eval, period=args.eval_period)
+
+    trainer = Trainer(model, variables, tc,
+                      ema_updates=epoch_step * args.init_epoch)
+    init_lr_fit, min_lr_fit = tc.scaled_lrs()
+    lr_fn = get_lr_scheduler(tc.lr_decay_type, init_lr_fit, min_lr_fit,
+                             tc.unfreeze_epoch)
+
+    best_val = float("inf")
+    for epoch in range(args.init_epoch, tc.unfreeze_epoch):
+        train_ds.set_epoch(epoch)
+        lr = lr_fn(epoch)
+        freeze = tc.freeze_train and epoch < tc.freeze_epoch
+
+        # losses stay on device during the epoch: a host sync per step
+        # serializes async dispatch (very costly on remote platforms)
+        step_losses = []
+        n_steps = 0
+        for it, hb in enumerate(train_loader):
+            if it >= epoch_step:
+                break
+            batch = trainer.put_batch(*hb)
+            lb = trainer.train_step(batch, lr, freeze_backbone=freeze)
+            step_losses.append(lb.total)
+            n_steps += 1
+            if it % 50 == 0:
+                print(f"epoch {epoch + 1}/{tc.unfreeze_epoch} it {it}/{epoch_step} "
+                      f"lr {lr:.5f}", flush=True)
+        train_loss = float(np.mean([float(x) for x in step_losses])) if n_steps else 0.0
+
+        val_losses = []
+        for it, hb in enumerate(val_loader):
+            if it >= epoch_step_val:
+                break
+            lb = trainer.eval_step(trainer.put_batch(*hb))
+            val_losses.append(lb.total)
+        val_loss = float(np.mean([float(x) for x in val_losses])) if val_losses else 0.0
+
+        print(f"Epoch {epoch + 1}/{tc.unfreeze_epoch}  "
+              f"Total Loss: {train_loss:.3f} || Val Loss: {val_loss:.3f}")
+        loss_history.append_loss(epoch + 1, train_loss, val_loss)
+        eval_cb.on_epoch_end(epoch + 1, trainer.ema_variables())
+
+        payload = {
+            "params": trainer.state.params,
+            "batch_stats": trainer.state.batch_stats,
+            "ema": trainer.state.ema.variables,
+            "ema_updates": int(trainer.state.ema.updates),
+            "opt_state": trainer.state.opt_state,
+            "epoch": epoch + 1,
+        }
+        if (epoch + 1) % tc.save_period == 0 or epoch + 1 == tc.unfreeze_epoch:
+            save_checkpoint(os.path.join(
+                log_dir, f"ep{epoch + 1:03d}-loss{train_loss:.3f}-"
+                f"val_loss{val_loss:.3f}.ckpt"), payload)
+        if val_loss <= best_val:
+            best_val = val_loss
+            print("Save best model to best_epoch_weights.ckpt")
+            save_checkpoint(os.path.join(log_dir, "best_epoch_weights.ckpt"), payload)
+        save_checkpoint(os.path.join(log_dir, "last_epoch_weights.ckpt"), payload)
+
+
+if __name__ == "__main__":
+    main()
