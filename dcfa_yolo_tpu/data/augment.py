@@ -147,20 +147,30 @@ def _merge_mosaic_boxes(per_tile_boxes: Sequence[np.ndarray], cutx: int, cuty: i
 def _hsv_jitter_pair(rgb: np.ndarray, nir: np.ndarray, hue: float, sat: float,
                      val: float) -> Tuple[np.ndarray, np.ndarray]:
     """Joint HSV color jitter via LUTs, same gains on both modalities
-    (`utils/dataloader_mul.py:340-363`)."""
-    import cv2
-
+    (`utils/dataloader_mul.py:340-363`).  Uses cv2 when present; otherwise the
+    first-party native library (`native/dcfa_host.cpp`, cv2-equivalent)."""
     r = np.random.uniform(-1, 1, 3) * [hue, sat, val] + 1
     x = np.arange(0, 256, dtype=np.uint8)
     lut_hue = ((x * r[0]) % 180).astype(np.uint8)
     lut_sat = np.clip(x * r[1], 0, 255).astype(np.uint8)
     lut_val = np.clip(x * r[2], 0, 255).astype(np.uint8)
 
-    def apply(img):
-        hch, sch, vch = cv2.split(cv2.cvtColor(img, cv2.COLOR_RGB2HSV))
-        merged = cv2.merge((cv2.LUT(hch, lut_hue), cv2.LUT(sch, lut_sat),
-                            cv2.LUT(vch, lut_val)))
-        return cv2.cvtColor(merged, cv2.COLOR_HSV2RGB)
+    try:
+        import cv2
+
+        def apply(img):
+            hch, sch, vch = cv2.split(cv2.cvtColor(img, cv2.COLOR_RGB2HSV))
+            merged = cv2.merge((cv2.LUT(hch, lut_hue), cv2.LUT(sch, lut_sat),
+                                cv2.LUT(vch, lut_val)))
+            return cv2.cvtColor(merged, cv2.COLOR_HSV2RGB)
+    except ImportError:
+        from dcfa_yolo_tpu import native
+
+        if not native.available():
+            return rgb, nir  # no color jitter backend; geometry-only aug
+
+        def apply(img):
+            return native.hsv_jitter(img, lut_hue, lut_sat, lut_val)
 
     return apply(rgb), apply(nir)
 
