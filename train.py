@@ -53,6 +53,8 @@ def parse_args():
     p.add_argument("--seed", type=int, default=11)
     p.add_argument("--compute-dtype", default="bfloat16",
                    choices=["float32", "bfloat16"])
+    p.add_argument("--profile-dir", default="",
+                   help="capture a jax.profiler trace of the first epoch here")
     return p.parse_args()
 
 
@@ -148,18 +150,28 @@ def main():
 
         # losses stay on device during the epoch: a host sync per step
         # serializes async dispatch (very costly on remote platforms)
+        from dcfa_yolo_tpu.utils.profiling import StepTimer, trace as profile_trace
+
+        timer = StepTimer()
         step_losses = []
         n_steps = 0
-        for it, hb in enumerate(train_loader):
-            if it >= epoch_step:
-                break
-            batch = trainer.put_batch(*hb)
-            lb = trainer.train_step(batch, lr, freeze_backbone=freeze)
-            step_losses.append(lb.total)
-            n_steps += 1
-            if it % 50 == 0:
-                print(f"epoch {epoch + 1}/{tc.unfreeze_epoch} it {it}/{epoch_step} "
-                      f"lr {lr:.5f}", flush=True)
+        with profile_trace(args.profile_dir if epoch == args.init_epoch else None):
+            for it, hb in enumerate(train_loader):
+                if it >= epoch_step:
+                    break
+                batch = trainer.put_batch(*hb)
+                timer.start()
+                lb = trainer.train_step(batch, lr, freeze_backbone=freeze)
+                timer.stop()
+                step_losses.append(lb.total)
+                n_steps += 1
+                if it % 50 == 0:
+                    print(f"epoch {epoch + 1}/{tc.unfreeze_epoch} it {it}/{epoch_step} "
+                          f"lr {lr:.5f}", flush=True)
+        if timer.summary():
+            s = timer.summary()
+            print(f"step timing: mean {s['mean_ms']:.1f} ms p50 {s['p50_ms']:.1f} "
+                  f"p95 {s['p95_ms']:.1f} over {s['steps']} steps", flush=True)
         train_loss = float(np.mean([float(x) for x in step_losses])) if n_steps else 0.0
 
         val_losses = []
