@@ -26,6 +26,15 @@ def parse_args():
     p.add_argument("--train-annotation", default="2007_train.txt")
     p.add_argument("--val-annotation", default="2007_val.txt")
     p.add_argument("--model-path", default="", help="checkpoint to load (.ckpt/.pth/.npz)")
+    p.add_argument("--resume", default="",
+                   help="full training checkpoint to resume from (restores "
+                        "params, BN stats, EMA, optimizer state and epoch — "
+                        "an improvement over the reference's weights-only "
+                        "model_path+Init_Epoch restart)")
+    p.add_argument("--init-type", default="normal",
+                   choices=["normal", "xavier", "kaiming", "orthogonal"],
+                   help="weight init when training from scratch "
+                        "(reference weights_init)")
     p.add_argument("--input-shape", type=int, nargs=2, default=[640, 640])
     p.add_argument("--phi", default="n", choices=list("nsmlx"))
     p.add_argument("--init-epoch", type=int, default=0)
@@ -95,9 +104,23 @@ def main():
         eval_period=args.eval_period, save_dir=args.save_dir)
 
     model, variables = init_model(cfg, jax.random.PRNGKey(args.seed))
-    if args.model_path:
+    resume_payload = None
+    if args.resume:
+        from dcfa_yolo_tpu.utils.checkpoint import load_checkpoint
+
+        print(f"Resume from {args.resume}.")
+        resume_payload = load_checkpoint(args.resume)
+        variables = {"params": resume_payload["params"],
+                     "batch_stats": resume_payload["batch_stats"]}
+    elif args.model_path:
         print(f"Load weights {args.model_path}.")
         variables = load_variables(args.model_path, variables)
+    else:
+        from dcfa_yolo_tpu.train.init_weights import reference_weights_init
+
+        variables = dict(variables)
+        variables["params"] = reference_weights_init(
+            variables["params"], seed=args.seed, init_type=args.init_type)
 
     with open(args.train_annotation, encoding="utf-8") as f:
         train_lines = f.readlines()
@@ -136,14 +159,35 @@ def main():
     eval_cb = EvalCallback(predictor_factory, class_names, val_lines, log_dir,
                            eval_flag=not args.no_eval, period=args.eval_period)
 
-    trainer = Trainer(model, variables, tc,
-                      ema_updates=epoch_step * args.init_epoch)
+    init_epoch = args.init_epoch
+    if resume_payload is not None:
+        init_epoch = int(resume_payload.get("epoch", args.init_epoch))
+        ema_updates = int(resume_payload.get("ema_updates", epoch_step * init_epoch))
+    else:
+        ema_updates = epoch_step * init_epoch
+
+    trainer = Trainer(model, variables, tc, ema_updates=ema_updates)
+    if resume_payload is not None:
+        from dcfa_yolo_tpu.train.ema import EMAState
+        from dcfa_yolo_tpu.train.trainer import TrainState
+        from dcfa_yolo_tpu.utils.checkpoint import restore_into
+
+        st = trainer.state
+        trainer.state = TrainState(
+            params=restore_into(st.params, resume_payload["params"]),
+            batch_stats=restore_into(st.batch_stats, resume_payload["batch_stats"]),
+            opt_state=restore_into(st.opt_state, resume_payload["opt_state"]),
+            ema=EMAState(
+                variables=restore_into(st.ema.variables, resume_payload["ema"]),
+                updates=st.ema.updates),
+        )
+
     init_lr_fit, min_lr_fit = tc.scaled_lrs()
     lr_fn = get_lr_scheduler(tc.lr_decay_type, init_lr_fit, min_lr_fit,
                              tc.unfreeze_epoch)
 
     best_val = float("inf")
-    for epoch in range(args.init_epoch, tc.unfreeze_epoch):
+    for epoch in range(init_epoch, tc.unfreeze_epoch):
         train_ds.set_epoch(epoch)
         lr = lr_fn(epoch)
         freeze = tc.freeze_train and epoch < tc.freeze_epoch
@@ -155,7 +199,7 @@ def main():
         timer = StepTimer()
         step_losses = []
         n_steps = 0
-        with profile_trace(args.profile_dir if epoch == args.init_epoch else None):
+        with profile_trace(args.profile_dir if epoch == init_epoch else None):
             for it, hb in enumerate(train_loader):
                 if it >= epoch_step:
                     break
