@@ -53,10 +53,10 @@ def voc_dir(tmp_path):
 
 
 class TestVocPrep:
-    def test_splits_and_annotations(self, voc_dir):
+    def test_splits_and_annotations(self, voc_dir, monkeypatch):
         sizes = generate_imagesets(str(voc_dir / "VOCdevkit"))
         assert sizes["trainval"] + sizes["test"] == 6
-        os.chdir(voc_dir)  # annotation files written to cwd
+        monkeypatch.chdir(voc_dir)  # annotation files written to cwd
         out = generate_annotation_files(str(voc_dir / "VOCdevkit"),
                                         str(voc_dir / "model_data" / "cls.txt"))
         assert os.path.exists(voc_dir / "2007_train.txt")
@@ -75,8 +75,8 @@ class TestVocPrep:
 
 
 @pytest.fixture()
-def annotation_lines(voc_dir):
-    os.chdir(voc_dir)
+def annotation_lines(voc_dir, monkeypatch):
+    monkeypatch.chdir(voc_dir)
     generate_imagesets(str(voc_dir / "VOCdevkit"))
     generate_annotation_files(str(voc_dir / "VOCdevkit"),
                               str(voc_dir / "model_data" / "cls.txt"),

@@ -10,7 +10,8 @@ import pytest
 from dcfa_yolo_tpu.evalmap.coco_map import get_coco_map
 from dcfa_yolo_tpu.evalmap.voc_map import get_map, voc_ap
 
-GOLDEN_DIR = "tests/goldens"
+import pathlib
+GOLDEN_DIR = str(pathlib.Path(__file__).parent / "goldens")
 
 
 class TestVocMap:

@@ -11,7 +11,8 @@ from dcfa_yolo_tpu.train.assigner import TaskAlignedAssigner
 from dcfa_yolo_tpu.train.loss import YoloLoss, pad_targets
 from dcfa_yolo_tpu.train.schedule import get_lr_scheduler
 
-GOLDEN = "tests/goldens/train.npz"
+import pathlib
+GOLDEN = str(pathlib.Path(__file__).parent / "goldens" / "train.npz")
 
 
 @pytest.fixture(scope="module")
