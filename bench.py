@@ -56,10 +56,18 @@ def main() -> None:
         max_det=300, pre_nms_topk=1024))
 
     res = jax.block_until_ready(fn(variables, rgb, nir, image_hw))  # compile
-    t0 = time.time()
-    for _ in range(iters):
+    # the axon runtime stalls for seconds on the first executions after a
+    # compile (deferred buffer migration); warm up, then take the median of
+    # several trials
+    for _ in range(10):
         res = jax.block_until_ready(fn(variables, rgb, nir, image_hw))
-    dt = (time.time() - t0) / iters
+    trials = []
+    for _ in range(3):
+        t0 = time.time()
+        for _ in range(iters):
+            res = jax.block_until_ready(fn(variables, rgb, nir, image_hw))
+        trials.append((time.time() - t0) / iters)
+    dt = sorted(trials)[len(trials) // 2]
     pairs_per_sec = batch / dt
 
     print(json.dumps({
