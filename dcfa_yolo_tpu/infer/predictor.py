@@ -111,6 +111,30 @@ class YOLOPredictor:
         n = int(res.valid[0].sum())
         return res.boxes[0][:n], res.scores[0][:n], res.classes[0][:n]
 
+    def detect_batch(self, rgb_images, nir_images,
+                     confidence: Optional[float] = None):
+        """Batched detection over same-sized image pairs — one device dispatch
+        for the whole batch (the throughput path; `detect` is the per-image
+        convenience API).  rgb/nir: lists of PIL images or an (B, H, W, 3)
+        uint8 array.  Returns a list of (boxes_yxyx_px, scores, class_ids)."""
+        rgb = np.stack([pil_to_rgb_array(i) for i in rgb_images]) \
+            if not isinstance(rgb_images, np.ndarray) else rgb_images
+        nir = np.stack([pil_to_rgb_array(i) for i in nir_images]) \
+            if not isinstance(nir_images, np.ndarray) else nir_images
+        image_hw = np.tile(np.asarray(rgb.shape[1:3], np.float32), (len(rgb), 1))
+        res = detect_batch_jit(
+            self.model, self.variables, jnp.asarray(rgb), jnp.asarray(nir),
+            image_hw,
+            conf_thres=self.confidence if confidence is None else confidence,
+            iou_thres=self.nms_iou, letterbox=self.letterbox_image,
+            max_det=self.max_det)
+        res = jax.tree_util.tree_map(np.asarray, res)
+        out = []
+        for b in range(len(rgb)):
+            n = int(res.valid[b].sum())
+            out.append((res.boxes[b][:n], res.scores[b][:n], res.classes[b][:n]))
+        return out
+
     # ------------------------------------------------------------------
     def detect_image(self, image_rgb, image_nir):
         """Draw detections on the RGB image; returns the annotated PIL image

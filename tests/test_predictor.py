@@ -1,0 +1,58 @@
+"""Predictor facade integration tests (CPU, small input)."""
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from dcfa_yolo_tpu.infer.predictor import YOLOPredictor
+
+
+@pytest.fixture(scope="module")
+def predictor():
+    return YOLOPredictor(class_names=["a", "b"], input_shape=(128, 128),
+                         phi="n", confidence=0.01, nms_iou=0.5, max_det=20)
+
+
+def _pair(seed, size=(120, 96)):
+    rng = np.random.Generator(np.random.PCG64(seed))
+    rgb = Image.fromarray(rng.integers(0, 255, size + (3,), dtype=np.uint8))
+    nir = Image.fromarray(rng.integers(0, 255, size + (3,), dtype=np.uint8))
+    return rgb, nir
+
+
+class TestPredictor:
+    def test_detect_shapes(self, predictor):
+        rgb, nir = _pair(0)
+        boxes, scores, classes = predictor.detect(rgb, nir)
+        assert boxes.ndim == 2 and boxes.shape[1] == 4
+        assert len(boxes) == len(scores) == len(classes)
+
+    def test_detect_batch_consistent_with_single(self, predictor):
+        rgb, nir = _pair(1)
+        single = predictor.detect(rgb, nir)
+        batched = predictor.detect_batch([rgb, rgb], [nir, nir])
+        assert len(batched) == 2
+        np.testing.assert_allclose(batched[0][0], single[0], rtol=1e-5, atol=1e-3)
+        np.testing.assert_allclose(batched[1][1], single[1], rtol=1e-5)
+
+    def test_detect_image_draws(self, predictor):
+        rgb, nir = _pair(2)
+        out = predictor.detect_image(rgb, nir)
+        assert out.size == rgb.size
+
+    def test_grayscale_input_converted(self, predictor):
+        rng = np.random.Generator(np.random.PCG64(3))
+        gray = Image.fromarray(rng.integers(0, 255, (96, 120), dtype=np.uint8),
+                               mode="L")
+        boxes, _, _ = predictor.detect(gray, gray)
+        assert boxes.shape[1] == 4
+
+    def test_get_map_txt_format(self, predictor, tmp_path):
+        rgb, nir = _pair(4)
+        predictor.get_map_txt("img1", rgb, nir, ["a", "b"], str(tmp_path))
+        txt = (tmp_path / "detection-results" / "img1.txt").read_text()
+        for line in txt.strip().splitlines():
+            parts = line.split()
+            assert parts[0] in ("a", "b")
+            float(parts[1])
+            [int(x) for x in parts[2:6]]

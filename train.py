@@ -64,6 +64,11 @@ def parse_args():
                    choices=["float32", "bfloat16"])
     p.add_argument("--profile-dir", default="",
                    help="capture a jax.profiler trace of the first epoch here")
+    p.add_argument("--distributed", action="store_true",
+                   help="multi-host: call jax.distributed.initialize() "
+                        "(coordinator/rank from env, like the reference's DDP "
+                        "env-var init at train_mul.py:115-127); the same pjit "
+                        "program then spans all hosts' devices")
     return p.parse_args()
 
 
@@ -84,6 +89,10 @@ def main():
     from dcfa_yolo_tpu.utils.jaxcache import enable_persistent_cache
 
     enable_persistent_cache()
+    if args.distributed:
+        jax.distributed.initialize()
+        print(f"distributed: process {jax.process_index()}/{jax.process_count()}, "
+              f"{jax.device_count()} global devices")
     py_random.seed(args.seed)
     np.random.seed(args.seed)
 
