@@ -240,12 +240,15 @@ def main():
         loss_history.append_loss(epoch + 1, train_loss, val_loss)
         eval_cb.on_epoch_end(epoch + 1, trainer.ema_variables())
 
+        # fetch the state to host ONCE per epoch (per-leaf device reads are
+        # expensive on remote platforms; best/last/periodic reuse this copy)
+        st = trainer.state
+        host_state = jax.device_get(
+            {"params": st.params, "batch_stats": st.batch_stats,
+             "ema": st.ema.variables, "opt_state": st.opt_state})
         payload = {
-            "params": trainer.state.params,
-            "batch_stats": trainer.state.batch_stats,
-            "ema": trainer.state.ema.variables,
-            "ema_updates": int(trainer.state.ema.updates),
-            "opt_state": trainer.state.opt_state,
+            **host_state,
+            "ema_updates": int(st.ema.updates),
             "epoch": epoch + 1,
         }
         if (epoch + 1) % tc.save_period == 0 or epoch + 1 == tc.unfreeze_epoch:
