@@ -41,7 +41,15 @@ def parse_args():
     p.add_argument("--freeze-epoch", type=int, default=0)
     p.add_argument("--unfreeze-epoch", type=int, default=200)
     p.add_argument("--freeze-train", action="store_true")
-    p.add_argument("--batch-size", type=int, default=16)
+    p.add_argument("--batch-size", type=int, default=16,
+                   help="unfreeze-phase batch size (reference Unfreeze_batch_size)")
+    p.add_argument("--freeze-batch-size", type=int, default=0,
+                   help="batch size during the frozen-backbone phase "
+                        "(reference Freeze_batch_size; 0 = same as --batch-size)")
+    p.add_argument("--frozen-bifpn", action="store_true",
+                   help="strict reference behavior: leave the BiFPN fusion "
+                        "weights untrained (they fall in no optimizer param "
+                        "group in the reference, train_mul.py:246-259)")
     p.add_argument("--optimizer", default="sgd", choices=["sgd", "adam"])
     p.add_argument("--init-lr", type=float, default=1e-2)
     p.add_argument("--min-lr-ratio", type=float, default=0.01)
@@ -137,6 +145,15 @@ def main():
         val_lines = f.readlines()
     num_train, num_val = len(train_lines), len(val_lines)
 
+    freeze_bs = args.freeze_batch_size or args.batch_size
+
+    def phase_batch_size(epoch: int) -> int:
+        # reference: Freeze_batch_size during the frozen phase, then
+        # Unfreeze_batch_size (`train_mul.py:238, 305-340`); a shape change
+        # just triggers one extra jit compile here
+        return freeze_bs if (tc.freeze_train and epoch < tc.freeze_epoch) \
+            else args.batch_size
+
     epoch_step = num_train // args.batch_size
     epoch_step_val = max(num_val // args.batch_size, 1)
     if epoch_step == 0:
@@ -148,12 +165,19 @@ def main():
         special_aug_ratio=tc.special_aug_ratio, epoch_length=tc.unfreeze_epoch)
     val_ds = PairedDetectionDataset(val_lines, cfg.input_shape, train=False,
                                     mosaic=False, mixup=False)
-    train_loader = BatchLoader(train_ds, args.batch_size, tc.max_boxes,
-                               shuffle=True, num_workers=args.num_workers,
-                               seed=args.seed)
-    val_loader = BatchLoader(val_ds, args.batch_size, tc.max_boxes,
-                             shuffle=False, num_workers=args.num_workers,
-                             seed=args.seed)
+
+    def make_loaders(bs: int):
+        return (
+            BatchLoader(train_ds, bs, tc.max_boxes, shuffle=True,
+                        num_workers=args.num_workers, seed=args.seed),
+            BatchLoader(val_ds, bs, tc.max_boxes, shuffle=False,
+                        num_workers=args.num_workers, seed=args.seed),
+        )
+
+    current_bs = phase_batch_size(args.init_epoch)
+    train_loader, val_loader = make_loaders(current_bs)
+    epoch_step = num_train // current_bs
+    epoch_step_val = max(num_val // current_bs, 1)
 
     time_str = datetime.datetime.now().strftime("%Y_%m_%d_%H_%M_%S")
     log_dir = os.path.join(args.save_dir, "loss_" + time_str)
@@ -175,7 +199,8 @@ def main():
     else:
         ema_updates = epoch_step * init_epoch
 
-    trainer = Trainer(model, variables, tc, ema_updates=ema_updates)
+    trainer = Trainer(model, variables, tc, ema_updates=ema_updates,
+                      train_bifpn=not args.frozen_bifpn)
     if resume_payload is not None:
         from dcfa_yolo_tpu.train.ema import EMAState
         from dcfa_yolo_tpu.train.trainer import TrainState
@@ -200,6 +225,12 @@ def main():
         train_ds.set_epoch(epoch)
         lr = lr_fn(epoch)
         freeze = tc.freeze_train and epoch < tc.freeze_epoch
+        if phase_batch_size(epoch) != current_bs:
+            current_bs = phase_batch_size(epoch)
+            print(f"switching to batch size {current_bs} (unfreeze phase)")
+            train_loader, val_loader = make_loaders(current_bs)
+            epoch_step = num_train // current_bs
+            epoch_step_val = max(num_val // current_bs, 1)
 
         # losses stay on device during the epoch: a host sync per step
         # serializes async dispatch (very costly on remote platforms)
