@@ -15,7 +15,7 @@ Differences from the reference, by design (SURVEY.md §7):
 
 from __future__ import annotations
 
-from typing import Any, NamedTuple, Optional, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import numpy as np
 import jax.numpy as jnp

@@ -7,7 +7,7 @@ running stats — with decay ramp d(u) = decay · (1 - e^(-u/tau)).
 
 from __future__ import annotations
 
-from typing import Any, Dict, NamedTuple
+from typing import Any, NamedTuple
 
 import jax
 import jax.numpy as jnp

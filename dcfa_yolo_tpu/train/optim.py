@@ -15,7 +15,7 @@ strict reference behavior.
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Any
 
 import jax
 import optax

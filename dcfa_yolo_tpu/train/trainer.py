@@ -9,15 +9,14 @@ sharded over the mesh and XLA inserts the gradient all-reduce over ICI.
 
 from __future__ import annotations
 
-import functools
-from typing import Any, NamedTuple, Optional, Tuple
+from typing import Any, NamedTuple
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 import optax
 
-from dcfa_yolo_tpu.config import ModelConfig, TrainConfig
+from dcfa_yolo_tpu.config import TrainConfig
 from dcfa_yolo_tpu.models.yolo import DCFAYolo
 from dcfa_yolo_tpu.parallel.mesh import data_sharding, make_mesh, replicated
 from dcfa_yolo_tpu.train.ema import EMAState, init_ema, update_ema
