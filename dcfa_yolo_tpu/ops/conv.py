@@ -75,8 +75,9 @@ def torch_batchnorm(
     axis_name: Optional[str] = None,
     dtype: Any = jnp.float32,
     name: Optional[str] = None,
-) -> nn.BatchNorm:
-    """BatchNorm2d with torch-style momentum semantics.
+):
+    """BatchNorm2d with exact torch semantics (incl. the unbiased-variance
+    running update flax lacks — see ops/norm.py).
 
     Call with `use_running_average=not train`.  Under `jit` over a batch-sharded
     mesh the batch moments are *global* automatically (XLA inserts the
@@ -84,12 +85,13 @@ def torch_batchnorm(
     conversion (`train_mul.py:193-196`); `axis_name` exists for explicit
     shard_map/pmap code paths.
     """
-    return nn.BatchNorm(
-        momentum=1.0 - torch_momentum,
-        epsilon=eps,
+    from dcfa_yolo_tpu.ops.norm import TorchExactBatchNorm
+
+    return TorchExactBatchNorm(
+        eps=eps,
+        torch_momentum=torch_momentum,
         axis_name=axis_name,
         dtype=dtype,
-        param_dtype=jnp.float32,
         name=name,
     )
 

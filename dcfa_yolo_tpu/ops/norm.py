@@ -1,0 +1,69 @@
+"""BatchNorm with exact PyTorch semantics.
+
+flax's `nn.BatchNorm` updates the running variance with the *biased* batch
+variance; torch `nn.BatchNorm2d` uses the *unbiased* one (Bessel n/(n-1)
+correction) while still normalizing with the biased variance
+(`torch.nn.functional.batch_norm`).  This module reproduces torch exactly:
+
+    running_mean ← (1-m)·running_mean + m·batch_mean
+    running_var  ← (1-m)·running_var  + m·batch_var·n/(n-1)
+    y = (x - batch_mean) / sqrt(batch_var + eps) · scale + bias
+
+Variable names (scale/bias in params, mean/var in batch_stats) match
+`nn.BatchNorm`, so checkpoints and the torch importer are unaffected.
+
+Cross-replica behavior: under jit+GSPMD with a sharded batch the means are
+global automatically (SyncBN); under shard_map pass `axis_name` for explicit
+pmean, or leave None for per-device (torch-DDP-default) statistics.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+class TorchExactBatchNorm(nn.Module):
+    eps: float = 1e-5
+    torch_momentum: float = 0.1
+    axis_name: Optional[str] = None
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, use_running_average: bool = True
+                 ) -> jnp.ndarray:
+        features = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (features,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (features,), jnp.float32)
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda s: jnp.zeros(s, jnp.float32), (features,))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda s: jnp.ones(s, jnp.float32), (features,))
+
+        if use_running_average:
+            mean = ra_mean.value
+            var = ra_var.value
+        else:
+            axes = tuple(range(x.ndim - 1))
+            xf = x.astype(jnp.float32)
+            mean = jnp.mean(xf, axis=axes)
+            mean2 = jnp.mean(jnp.square(xf), axis=axes)
+            n = float(np.prod([x.shape[a] for a in axes]))
+            if self.axis_name is not None:
+                mean = jax.lax.pmean(mean, self.axis_name)
+                mean2 = jax.lax.pmean(mean2, self.axis_name)
+                n = n * jax.lax.psum(1, self.axis_name)
+            var = jnp.maximum(mean2 - jnp.square(mean), 0.0)
+            if not self.is_initializing():
+                m = self.torch_momentum
+                bessel = n / max(n - 1.0, 1.0)
+                ra_mean.value = (1.0 - m) * ra_mean.value + m * mean
+                ra_var.value = (1.0 - m) * ra_var.value + m * var * bessel
+
+        y = (x.astype(jnp.float32) - mean) * jax.lax.rsqrt(var + self.eps)
+        y = y * scale + bias
+        return y.astype(self.dtype)
