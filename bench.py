@@ -1,15 +1,26 @@
 """Benchmark: RGB+NIR pairs/sec/chip for the full fused inference pipeline.
 
 Protocol (matches the reference FPS protocol, `yolo_mul.py:132-166`: repeated
-full forward+decode+NMS on the same pair, steady state after warm-up) but
-batched and fully on device: letterbox preprocess, dual-backbone forward,
-DFL decode, class-aware NMS, letterbox unmap — one jit, device-resident inputs,
-batch 8, bfloat16 compute.
+full forward+decode+NMS, steady state after warm-up) but batched and fully on
+device: letterbox preprocess, dual-backbone forward, DFL decode, class-aware
+NMS, letterbox unmap — one jit, batch 8, bfloat16, RepGhost-fused deploy graph.
 
-Baseline: the reference publishes no numbers (BASELINE.md); the only measured
-datum is the PyTorch reference at 640x640 on this container's CPU:
-~322 ms/pair forward-only ≈ 3.11 pairs/s.  `vs_baseline` is computed against
-that measured number.
+Timing is **chained-dependency** (utils/profiling.timeit_chained): each
+iteration's input depends on the previous iteration's output, so the device
+cannot overlap iterations and the measurement cannot be fooled by the axon
+runtime's early-ready `block_until_ready` (which under-measured round 1 by
+~40x: 25,756 "pairs/s" implied >100% of v5e bf16 peak — impossible).
+
+The bench is self-checking: it derives FLOPs and bytes from XLA's cost
+analysis of the *compiled executable*, emits implied TFLOP/s, MFU against the
+chip's bf16 peak, and HBM bandwidth utilization, and refuses to print a
+number whose MFU exceeds 1.0.  This model is bandwidth-bound, not MXU-bound
+(2.7M params, 640x640 activations, <=256 channels), so HBM utilization is the
+roofline that matters — see README "Performance accounting".
+
+Baseline: the reference publishes no numbers (BASELINE.md); the measured datum
+is the PyTorch reference on this container's CPU: ~322 ms/pair forward-only
+≈ 3.11 pairs/s.  `vs_baseline` is computed against that.
 
 Prints ONE JSON line.
 """
@@ -19,11 +30,26 @@ from __future__ import annotations
 import json
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 REFERENCE_CPU_PAIRS_PER_SEC = 1.0 / 0.322  # BASELINE.md measured datum
+
+# bf16 peak / HBM bandwidth per chip, by device_kind prefix
+CHIP_SPECS = {
+    "TPU v5 lite": (197e12, 819e9),   # v5e: 197 bf16 TFLOP/s, 819 GB/s
+    "TPU v5e": (197e12, 819e9),
+    "TPU v5p": (459e12, 2765e9),
+    "TPU v4": (275e12, 1228e9),
+    "TPU v6 lite": (918e12, 1640e9),  # v6e (Trillium)
+}
+
+
+def chip_spec(kind: str):
+    for k, v in CHIP_SPECS.items():
+        if kind.startswith(k):
+            return v
+    return (float("nan"), float("nan"))
 
 
 def main() -> None:
@@ -36,20 +62,21 @@ def main() -> None:
 
     from dcfa_yolo_tpu.config import ModelConfig
     from dcfa_yolo_tpu.infer.pipeline import detect_batch
+    from dcfa_yolo_tpu.models.reparam import deploy_variables
     from dcfa_yolo_tpu.models.yolo import DCFAYolo, init_model
+    from dcfa_yolo_tpu.utils.profiling import timeit_chained
 
     batch = int(os.environ.get("BENCH_BATCH", "8"))
     iters = int(os.environ.get("BENCH_ITERS", "30"))
     size = int(os.environ.get("BENCH_SIZE", "640"))
+    nms_backend = os.environ.get("BENCH_NMS", "pallas")
 
     cfg = ModelConfig(num_classes=1, phi="n", input_shape=(size, size),
                       compute_dtype="bfloat16")
     _, variables = init_model(cfg, jax.random.PRNGKey(0))
     # serving configuration: the re-parameterized (RepGhost-fused) graph —
-    # the reference's switch_to_deploy capability; ~40% faster than the
-    # train-mode multi-branch graph and numerically identical (test_reparam)
-    from dcfa_yolo_tpu.models.reparam import deploy_variables
-
+    # the reference's switch_to_deploy capability, numerically identical to
+    # the train graph (test_reparam)
     model = DCFAYolo(cfg, deploy=True)
     variables = jax.jit(deploy_variables)(variables)
 
@@ -58,30 +85,45 @@ def main() -> None:
     nir = jnp.asarray(rng.integers(0, 255, (batch, 480, 602, 3)), jnp.float32)
     image_hw = jnp.asarray(np.tile([480.0, 602.0], (batch, 1)), jnp.float32)
 
-    fn = jax.jit(lambda v, r, n, hw: detect_batch(
-        model, v, r, n, hw, conf_thres=0.5, iou_thres=0.3, letterbox=True,
-        max_det=300, pre_nms_topk=1024))
+    def fn(r, n):
+        return detect_batch(model, variables, r, n, image_hw, conf_thres=0.5,
+                            iou_thres=0.3, letterbox=True, max_det=300,
+                            pre_nms_topk=512, nms_backend=nms_backend)
 
-    res = jax.block_until_ready(fn(variables, rgb, nir, image_hw))  # compile
-    # the axon runtime stalls for seconds on the first executions after a
-    # compile (deferred buffer migration); warm up, then take the median of
-    # several trials
-    for _ in range(10):
-        res = jax.block_until_ready(fn(variables, rgb, nir, image_hw))
-    trials = []
-    for _ in range(3):
-        t0 = time.time()
-        for _ in range(iters):
-            res = jax.block_until_ready(fn(variables, rgb, nir, image_hw))
-        trials.append((time.time() - t0) / iters)
-    dt = sorted(trials)[len(trials) // 2]
+    # compiled-executable accounting
+    compiled = jax.jit(fn).lower(rgb, nir).compile()
+    ca = compiled.cost_analysis()
+    if isinstance(ca, list):
+        ca = ca[0]
+    flops_per_pair = float(ca.get("flops", float("nan"))) / batch
+    bytes_per_pair = float(ca.get("bytes accessed", float("nan"))) / batch
+
+    dt = timeit_chained(fn, (rgb, nir), iters=iters)
     pairs_per_sec = batch / dt
+
+    dev_kind = jax.devices()[0].device_kind
+    peak_flops, peak_bw = chip_spec(dev_kind)
+    tflops = flops_per_pair * pairs_per_sec / 1e12
+    mfu = tflops * 1e12 / peak_flops
+    hbm_util = bytes_per_pair * pairs_per_sec / peak_bw
+    if mfu == mfu and mfu > 1.0:  # NaN-safe self-check
+        raise SystemExit(
+            f"IMPOSSIBLE measurement: implied MFU {mfu:.2f} > 1.0 "
+            f"({tflops:.1f} TFLOP/s vs {peak_flops/1e12:.0f} peak) — "
+            f"timing artifact, refusing to report")
 
     print(json.dumps({
         "metric": "pairs_per_sec_per_chip_640_batch_inference",
         "value": round(pairs_per_sec, 2),
         "unit": "pairs/s",
         "vs_baseline": round(pairs_per_sec / REFERENCE_CPU_PAIRS_PER_SEC, 2),
+        "device": dev_kind,
+        "gflop_per_pair": round(flops_per_pair / 1e9, 3),
+        "tflops": round(tflops, 2),
+        "mfu": round(mfu, 4),
+        "hbm_gbps": round(bytes_per_pair * pairs_per_sec / 1e9, 1),
+        "hbm_util": round(hbm_util, 3),
+        "timing": "chained-dependency (see utils/profiling.timeit_chained)",
     }))
 
 

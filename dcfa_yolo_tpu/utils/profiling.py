@@ -55,6 +55,50 @@ class StepTimer:
         }
 
 
+def timeit_chained(fn, args, *, perturb_argnum: int = 0, iters: int = 50,
+                   trials: int = 3, warmup: int = 8) -> float:
+    """Median seconds per call of `fn(*args)`, measured honestly on remote
+    platforms.
+
+    Each iteration's designated input is perturbed by a zero scalar derived
+    from the previous iteration's output, so consecutive calls form a data
+    dependency chain: the device cannot overlap them and the host cannot
+    under-measure them.  This matters under the axon TPU tunnel, where
+    `block_until_ready` was measured to return ~40x before the compute
+    actually finished (round-1 bench reported 25.7k pairs/s, an impossible
+    >100% MFU; the chained measure gives the truth).  Only one blocking sync
+    per trial, so per-iteration host round-trips don't pollute the number.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def chained(eps, *a):
+        a = list(a)
+        a[perturb_argnum] = jax.tree_util.tree_map(
+            lambda x: x + eps.astype(x.dtype), a[perturb_argnum])
+        out = fn(*a)
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        return out, (leaf.ravel()[0] * 0).astype(jnp.float32)
+
+    eps = jnp.float32(0.0)
+    out, eps = chained(eps, *args)
+    jax.block_until_ready(out)
+    for _ in range(warmup):
+        out, eps = chained(eps, *args)
+    jax.block_until_ready(out)
+    times = []
+    for _ in range(trials):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out, eps = chained(eps, *args)
+        jax.block_until_ready(out)
+        # belt and braces: force a real payload fetch of the chain scalar
+        float(eps)
+        times.append((time.perf_counter() - t0) / iters)
+    return sorted(times)[len(times) // 2]
+
+
 def cost_analysis_flops(fn, *args) -> float:
     """Estimated FLOPs of a jitted callable from XLA's cost model."""
     import jax
