@@ -33,6 +33,7 @@ def detect_batch(
     letterbox: bool = True,
     max_det: int = 300,
     pre_nms_topk: int = 1024,
+    nms_backend: str = "xla",
 ) -> NMSResult:
     """Full pipeline on preprocessed-size uint8/float inputs.
 
@@ -67,7 +68,8 @@ def detect_batch(
     classes = jnp.argmax(scores_all, axis=-1).astype(jnp.int32)
 
     res = batched_nms(boxes, scores, classes, conf_thres, iou_thres,
-                      pre_nms_topk=pre_nms_topk, max_det=max_det)
+                      pre_nms_topk=pre_nms_topk, max_det=max_det,
+                      backend=nms_backend)
     boxes_out = correct_boxes_yxyx(res.boxes, in_hw, image_hw, letterbox=letterbox)
     boxes_out = jnp.where(res.valid[..., None], boxes_out, 0.0)
     return NMSResult(boxes=boxes_out, scores=res.scores, classes=res.classes,
@@ -77,15 +79,16 @@ def detect_batch(
 @functools.partial(
     jax.jit,
     static_argnames=("model", "conf_thres", "iou_thres", "letterbox", "max_det",
-                     "pre_nms_topk"),
+                     "pre_nms_topk", "nms_backend"),
     donate_argnames=("rgb", "nir"),
 )
 def detect_batch_jit(model, variables, rgb, nir, image_hw, *, conf_thres,
-                     iou_thres, letterbox=True, max_det=300, pre_nms_topk=1024):
+                     iou_thres, letterbox=True, max_det=300, pre_nms_topk=1024,
+                     nms_backend="xla"):
     return detect_batch(model, variables, rgb, nir, image_hw,
                         conf_thres=conf_thres, iou_thres=iou_thres,
                         letterbox=letterbox, max_det=max_det,
-                        pre_nms_topk=pre_nms_topk)
+                        pre_nms_topk=pre_nms_topk, nms_backend=nms_backend)
 
 
 def heatmap_scores(model: DCFAYolo, variables, rgb: jnp.ndarray, nir: jnp.ndarray

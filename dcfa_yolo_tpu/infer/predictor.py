@@ -60,6 +60,7 @@ class YOLOPredictor:
         compute_dtype: str = "float32",
         variables=None,
         deploy: bool = False,
+        nms_backend: str = "xla",
     ):
         if class_names is None:
             if classes_path is None:
@@ -71,6 +72,9 @@ class YOLOPredictor:
         self.nms_iou = nms_iou
         self.letterbox_image = letterbox_image
         self.max_det = max_det
+        # 'xla' (fori-loop) or 'pallas' (VMEM-resident TPU kernel); identical
+        # keep semantics, verified on-chip (tools/perf_breakdown.py)
+        self.nms_backend = nms_backend
 
         self.cfg = ModelConfig(
             num_classes=self.num_classes, phi=phi,
@@ -100,7 +104,7 @@ class YOLOPredictor:
             jnp.asarray(rgb_arr[None]), jnp.asarray(nir_arr[None]), image_hw,
             conf_thres=self.confidence if confidence is None else confidence,
             iou_thres=self.nms_iou, letterbox=self.letterbox_image,
-            max_det=self.max_det)
+            max_det=self.max_det, nms_backend=self.nms_backend)
         return jax.tree_util.tree_map(np.asarray, res)
 
     def detect(self, image_rgb, image_nir, confidence: Optional[float] = None):
@@ -127,7 +131,7 @@ class YOLOPredictor:
             image_hw,
             conf_thres=self.confidence if confidence is None else confidence,
             iou_thres=self.nms_iou, letterbox=self.letterbox_image,
-            max_det=self.max_det)
+            max_det=self.max_det, nms_backend=self.nms_backend)
         res = jax.tree_util.tree_map(np.asarray, res)
         out = []
         for b in range(len(rgb)):

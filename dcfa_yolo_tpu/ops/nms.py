@@ -47,6 +47,31 @@ def _greedy_suppress(iou: jnp.ndarray, alive0: jnp.ndarray, iou_thres: float) ->
     return keep
 
 
+def _select_candidates(boxes, scores, classes, conf_thres, k, class_aware,
+                       coord_scale):
+    """Per-image top-k candidate selection + class-offset boxes."""
+    masked = jnp.where(scores >= conf_thres, scores, -1.0)
+    top_scores, idx = jax.lax.top_k(masked, k)
+    top_boxes = boxes[idx]
+    top_classes = classes[idx]
+    alive = top_scores > 0.0
+    if class_aware:
+        off_boxes = top_boxes + (top_classes.astype(boxes.dtype) * coord_scale)[:, None]
+    else:
+        off_boxes = top_boxes
+    return top_boxes, top_scores, top_classes, alive, off_boxes
+
+
+def _finalize(keep, top_boxes, top_scores, top_classes, max_det):
+    final_scores = jnp.where(keep, top_scores, -1.0)
+    out_scores, out_idx = jax.lax.top_k(final_scores, max_det)
+    valid = out_scores > 0.0
+    out_boxes = jnp.where(valid[:, None], top_boxes[out_idx], 0.0)
+    out_classes = jnp.where(valid, top_classes[out_idx], -1)
+    out_scores = jnp.where(valid, out_scores, 0.0)
+    return out_boxes, out_scores, out_classes, valid
+
+
 def nms_single(
     boxes: jnp.ndarray,
     scores: jnp.ndarray,
@@ -59,28 +84,12 @@ def nms_single(
     coord_scale: float = 4.0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """NMS for one image.  boxes (A,4) xyxy, scores (A,), classes (A,) int."""
-    a = boxes.shape[0]
-    k = min(pre_nms_topk, a)
-    masked = jnp.where(scores >= conf_thres, scores, -1.0)
-    top_scores, idx = jax.lax.top_k(masked, k)
-    top_boxes = boxes[idx]
-    top_classes = classes[idx]
-    alive = top_scores > 0.0
-
-    if class_aware:
-        off_boxes = top_boxes + (top_classes.astype(boxes.dtype) * coord_scale)[:, None]
-    else:
-        off_boxes = top_boxes
+    k = min(pre_nms_topk, boxes.shape[0])
+    top_boxes, top_scores, top_classes, alive, off_boxes = _select_candidates(
+        boxes, scores, classes, conf_thres, k, class_aware, coord_scale)
     iou = pairwise_iou_xyxy(off_boxes, off_boxes)
     keep = _greedy_suppress(iou, alive, iou_thres) & alive
-
-    final_scores = jnp.where(keep, top_scores, -1.0)
-    out_scores, out_idx = jax.lax.top_k(final_scores, max_det)
-    valid = out_scores > 0.0
-    out_boxes = jnp.where(valid[:, None], top_boxes[out_idx], 0.0)
-    out_classes = jnp.where(valid, top_classes[out_idx], -1)
-    out_scores = jnp.where(valid, out_scores, 0.0)
-    return out_boxes, out_scores, out_classes, valid
+    return _finalize(keep, top_boxes, top_scores, top_classes, max_det)
 
 
 def batched_nms(
@@ -92,8 +101,27 @@ def batched_nms(
     pre_nms_topk: int = 1024,
     max_det: int = 300,
     class_aware: bool = True,
+    backend: str = "xla",
 ) -> NMSResult:
-    """Batch NMS via vmap.  boxes (B,A,4), scores (B,A), classes (B,A)."""
+    """Batch NMS.  boxes (B,A,4), scores (B,A), classes (B,A).
+
+    backend='xla': vmapped (K,K)-IoU-matrix + fori_loop suppression.
+    backend='pallas': the VMEM-resident Pallas TPU kernel
+    (`ops/pallas_nms.py`) — one kernel dispatch per batch instead of K
+    sequential XLA loop steps; identical keep semantics (tests/test_pallas_nms).
+    """
+    if backend == "pallas":
+        from dcfa_yolo_tpu.ops.pallas_nms import pallas_greedy_suppress
+
+        k = min(pre_nms_topk, boxes.shape[1])
+        sel = jax.vmap(lambda b, s, c: _select_candidates(
+            b, s, c, conf_thres, k, class_aware, 4.0))
+        top_boxes, top_scores, top_classes, alive, off_boxes = sel(
+            boxes, scores, classes)
+        keep = pallas_greedy_suppress(off_boxes, alive, iou_thres) & alive
+        out = jax.vmap(lambda kp, b, s, c: _finalize(kp, b, s, c, max_det))(
+            keep, top_boxes, top_scores, top_classes)
+        return NMSResult(*out)
     fn = lambda b, s, c: nms_single(
         b, s, c, conf_thres, iou_thres, pre_nms_topk, max_det, class_aware)
     out = jax.vmap(fn)(boxes, scores, classes)

@@ -31,6 +31,10 @@ def parse_args():
                    choices=["float32", "bfloat16"])
     p.add_argument("--deploy", action="store_true",
                    help="use the re-parameterized (fused RepGhost) graph")
+    p.add_argument("--nms-backend", default="xla", choices=["xla", "pallas"],
+                   help="greedy-suppression backend: XLA fori-loop or the "
+                        "Pallas TPU kernel (identical outputs, verified "
+                        "on-chip)")
     return p.parse_args()
 
 
@@ -47,7 +51,8 @@ def main():
         model_path=args.model_path or None, classes_path=args.classes_path,
         input_shape=tuple(args.input_shape), phi=args.phi,
         confidence=args.confidence, nms_iou=args.nms_iou,
-        compute_dtype=args.compute_dtype, deploy=args.deploy)
+        compute_dtype=args.compute_dtype, deploy=args.deploy,
+        nms_backend=args.nms_backend)
     if args.deploy and args.model_path:
         from dcfa_yolo_tpu.models.reparam import deploy_variables
 
