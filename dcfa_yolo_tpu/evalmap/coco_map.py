@@ -102,8 +102,8 @@ def get_coco_map(class_names: Sequence[str], path: str = "map_out",
                  max_dets: int = 100) -> List[float]:
     """→ [AP@0.5:0.95, AP@0.5] over the text-file protocol."""
     per_image_gt, gt_counter, _ = _parse_gt_dir(os.path.join(path, "ground-truth"))
-    per_class_dr = _parse_dr_dir(os.path.join(path, "detection-results"),
-                                 list(class_names))
+    per_class_dr, _ = _parse_dr_dir(os.path.join(path, "detection-results"),
+                                    list(class_names))
 
     all_aps = []
     for cname in class_names:

@@ -71,17 +71,30 @@ def _u8ptr(a: np.ndarray):
 def letterbox_bicubic(img: np.ndarray, out_hw: Tuple[int, int],
                       pad_value: int = 128) -> np.ndarray:
     """PIL-parity bicubic letterbox of an (H, W, 3) uint8 image."""
-    lib = get_lib()
-    assert lib is not None
     ih, iw = img.shape[:2]
     oh, ow = out_hw
     scale = min(ow / iw, oh / ih)
     nw, nh = int(iw * scale), int(ih * scale)
-    pad_top, pad_left = (oh - nh) // 2, (ow - nw) // 2
+    return resize_paste(img, (nh, nw), out_hw, (oh - nh) // 2, (ow - nw) // 2,
+                        pad_value)
+
+
+def resize_paste(img: np.ndarray, resized_hw: Tuple[int, int],
+                 out_hw: Tuple[int, int], dy: int, dx: int,
+                 pad_value: int = 128) -> np.ndarray:
+    """PIL-parity bicubic resize of an (H, W, 3) uint8 image to resized_hw,
+    pasted (clipped) at (dy, dx) onto a gray canvas of out_hw — the general
+    form used by the train-path random placement and mosaic tiles
+    (`utils/dataloader_mul.py:150-162, 299-311`)."""
+    lib = get_lib()
+    assert lib is not None
+    ih, iw = img.shape[:2]
+    oh, ow = out_hw
+    nh, nw = resized_hw
     img = np.ascontiguousarray(img, dtype=np.uint8)
     out = np.empty((oh, ow, 3), np.uint8)
     lib.letterbox_bicubic_u8(_u8ptr(img), ih, iw, _u8ptr(out), oh, ow, nh, nw,
-                             pad_top, pad_left, pad_value)
+                             dy, dx, pad_value)
     return out
 
 

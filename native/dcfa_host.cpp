@@ -84,6 +84,9 @@ static inline uint8_t clip_round_u8(double vd) {
 
 // Resize src (ih x iw x 3, uint8) to (nh x nw) with PIL-parity bicubic, then
 // paste into dst (oh x ow x 3) pre-filled with gray at (pad_top, pad_left).
+// The paste is clipped to the canvas: negative offsets and nh/nw larger than
+// the canvas are fine (the train-path random placement and mosaic tiles place
+// tiles partially outside, `utils/dataloader_mul.py:150-162, 299-311`).
 void letterbox_bicubic_u8(const uint8_t* src, int ih, int iw, uint8_t* dst,
                           int oh, int ow, int nh, int nw, int pad_top,
                           int pad_left, uint8_t pad_value) {
@@ -112,13 +115,14 @@ void letterbox_bicubic_u8(const uint8_t* src, int ih, int iw, uint8_t* dst,
     }
   }
 
-  // vertical pass: (ih x nw) -> (nh x nw), write into the canvas
+  // vertical pass: (ih x nw) -> (nh x nw), write into the canvas (clipped)
   Taps th = make_taps(ih, nh);
-  for (int y = 0; y < nh; y++) {
+  int x_lo = std::max(0, -pad_left), x_hi = std::min(nw, ow - pad_left);
+  for (int y = std::max(0, -pad_top); y < std::min(nh, oh - pad_top); y++) {
     const float* w = &th.w[(size_t)y * th.max_taps];
     int y0 = th.xmin[y], n = th.count[y];
     uint8_t* orow = dst + ((size_t)(y + pad_top) * ow + pad_left) * 3;
-    for (int x = 0; x < nw; x++) {
+    for (int x = x_lo; x < x_hi; x++) {
       float acc0 = 0, acc1 = 0, acc2 = 0;
       for (int k = 0; k < n; k++) {
         const uint8_t* p = mid.data() + ((size_t)(y0 + k) * nw + x) * 3;
