@@ -24,6 +24,31 @@ class TestVocMap:
         mine = get_map(0.5, False, score_threshold=0.5, path=str(work))
         np.testing.assert_allclose(mine, ref, atol=1e-10)
 
+    def test_results_txt_matches_reference_golden(self, tmp_path):
+        """The rebuilt harness's results.txt carries the reference's facts
+        (`utils/utils_map.py:608-742`): per-class AP, rounded P/R arrays,
+        gt counts and detection counts with tp/fp."""
+        import re
+
+        src = os.path.join(GOLDEN_DIR, "map_files")
+        work = tmp_path / "map"
+        shutil.copytree(src, work)
+        get_map(0.5, False, score_threshold=0.5, path=str(work))
+        mine = (work / "results" / "results.txt").read_text()
+        ref = open(os.path.join(GOLDEN_DIR, "map_results_golden.txt")).read()
+
+        def facts(txt):
+            ap = dict(re.findall(r"^([\d.]+)% = (\S+) AP", txt, re.M))
+            ap = {cls: v for v, cls in ap.items()}
+            prec = re.findall(r"Precision: (\[[^\]]*\])", txt)
+            rec = re.findall(r"Recall :(\[[^\]]*\])", txt)
+            m = re.search(r"mAP = ([\d.]+)%", txt)
+            gts = dict(re.findall(r"^(\S+): (\d+)$", txt, re.M))
+            dets = dict(re.findall(r"^(\S+): (\d+ \(tp:\d+, fp:\d+\))$", txt, re.M))
+            return ap, prec, rec, m.group(1), gts, dets
+
+        assert facts(mine) == facts(ref)
+
     def test_voc_ap_known_value(self):
         # single det matching single gt: P=1 at R=1 → AP = 1
         ap, _, _ = voc_ap([1.0], [1.0])

@@ -339,6 +339,10 @@ def gen_map_golden() -> None:
     golden_dir = os.path.join(OUT, "map_files")
     shutil.rmtree(golden_dir, ignore_errors=True)
     shutil.copytree(tmp, golden_dir, ignore=shutil.ignore_patterns("results", ".temp*"))
+    # reference results.txt (AP blocks + gt/detection count sections) as the
+    # golden for the rebuilt harness's report surface
+    shutil.copy(os.path.join(tmp, "results", "results.txt"),
+                os.path.join(OUT, "map_results_golden.txt"))
     with open(os.path.join(OUT, "map_golden.json"), "w") as f:
         json.dump({"map50": float(ref_map)}, f)
     print("map golden:", ref_map)
