@@ -14,6 +14,7 @@ import argparse
 import datetime
 import os
 import sys
+import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -26,6 +27,15 @@ def parse_args():
     p.add_argument("--train-annotation", default="2007_train.txt")
     p.add_argument("--val-annotation", default="2007_val.txt")
     p.add_argument("--model-path", default="", help="checkpoint to load (.ckpt/.pth/.npz)")
+    p.add_argument("--pretrained", action="store_true",
+                   help="load the pretrained yolov8 backbone into BOTH modal "
+                        "branches (strict=False partial load, reference "
+                        "nets/yolo_mul.py:283-293 + train_mul.py:136-141); "
+                        "resolves model_data/yolov8_{phi}_backbone_weights.pth "
+                        "via utils.general.download_weights (no egress here — "
+                        "place the file manually)")
+    p.add_argument("--model-dir", default="model_data",
+                   help="where pretrained backbone weights live")
     p.add_argument("--resume", default="",
                    help="full training checkpoint to resume from (restores "
                         "params, BN stats, EMA, optimizer state and epoch — "
@@ -132,6 +142,24 @@ def main():
     elif args.model_path:
         print(f"Load weights {args.model_path}.")
         variables = load_variables(args.model_path, variables)
+    elif args.pretrained:
+        # reference: download_weights(phi) then Backbone strict=False partial
+        # load into both modal branches; weights_init is skipped when
+        # pretrained (`nets/yolo_mul.py:393-394`)
+        from dcfa_yolo_tpu.models.torch_import import (
+            import_state_dict,
+            load_torch_checkpoint,
+        )
+        from dcfa_yolo_tpu.utils.general import download_weights
+
+        path = download_weights(args.phi, args.model_dir)
+        sd = load_torch_checkpoint(path)
+        # the release file holds the Backbone module's own key space; prefix
+        # it so the importer's single→dual surgery fills backbone_rgb/_nir
+        sd = {f"backbone.{k}": v for k, v in sd.items()}
+        variables, report = import_state_dict(sd, variables, strict=False)
+        print(f"Load pretrained backbone {path}: {len(report['matched'])} "
+              f"tensors into both branches, {len(report['skipped'])} skipped.")
     else:
         from dcfa_yolo_tpu.train.init_weights import reference_weights_init
 
@@ -239,9 +267,16 @@ def main():
         timer = StepTimer()
         step_losses = []
         n_steps = 0
+        fetch_wait = 0.0
+        running = []  # sparse host-synced loss samples for the progress line
+        epoch_t0 = time.perf_counter()
         with profile_trace(args.profile_dir if epoch == init_epoch else None):
-            for it, hb in enumerate(train_loader):
-                if it >= epoch_step:
+            it_loader = iter(train_loader)
+            for it in range(epoch_step):
+                t0 = time.perf_counter()
+                hb = next(it_loader, None)
+                fetch_wait += time.perf_counter() - t0
+                if hb is None:
                     break
                 batch = trainer.put_batch(*hb)
                 timer.start()
@@ -250,12 +285,31 @@ def main():
                 step_losses.append(lb.total)
                 n_steps += 1
                 if it % 50 == 0:
+                    # ONE host sync per 50 steps: cheap (~30 ms RTT) and keeps
+                    # dispatch async (the reference shows a per-step tqdm
+                    # running loss, `utils/utils_fit_mul.py:15,62-63`)
+                    running.append(float(lb.total))
                     print(f"epoch {epoch + 1}/{tc.unfreeze_epoch} it {it}/{epoch_step} "
-                          f"lr {lr:.5f}", flush=True)
+                          f"loss {running[-1]:.3f} "
+                          f"(run-mean {np.mean(running):.3f}) lr {lr:.5f}",
+                          flush=True)
+            it_loader.close()  # shuts the worker pool down cleanly
+        epoch_wall = time.perf_counter() - epoch_t0
         if timer.summary():
             s = timer.summary()
+            step_rate = n_steps / epoch_wall if epoch_wall else 0.0
+            cap = train_loader.throughput()
+            cap_s = f"{cap:.2f} batches/s" if cap is not None else "n/a"
+            starved = (f" (STARVED: waited {fetch_wait:.1f}s on data)"
+                       if cap is not None and cap < step_rate else "")
             print(f"step timing: mean {s['mean_ms']:.1f} ms p50 {s['p50_ms']:.1f} "
-                  f"p95 {s['p95_ms']:.1f} over {s['steps']} steps", flush=True)
+                  f"p95 {s['p95_ms']:.1f} over {s['steps']} steps | "
+                  f"step rate {step_rate:.2f}/s, loader capacity {cap_s}"
+                  + starved, flush=True)
+        if train_loader.overflow_items:
+            print(f"[loader] {train_loader.overflow_items} items exceeded "
+                  f"max_boxes={tc.max_boxes}; {train_loader.overflow_dropped} "
+                  f"smallest-area boxes dropped", flush=True)
         train_loss = float(np.mean([float(x) for x in step_losses])) if n_steps else 0.0
 
         val_losses = []
