@@ -77,6 +77,19 @@ def parse_args():
     p.add_argument("--no-eval", action="store_true")
     p.add_argument("--save-dir", default="logs")
     p.add_argument("--num-workers", type=int, default=4)
+    p.add_argument("--device-aug", action="store_true",
+                   help="TPU-resident data pipeline: stage the decoded "
+                        "dataset into device HBM once and run ALL "
+                        "augmentation (mosaic/jitter/flip/HSV/mixup + box "
+                        "transforms) as a jitted on-device program; per-step "
+                        "host->device traffic drops from ~150 MB of images "
+                        "to ~KB of geometry scalars (data/device_aug.py)")
+    p.add_argument("--device-aug-stage", type=int, nargs=2, default=None,
+                   metavar=("H", "W"),
+                   help="staging resolution for --device-aug (default: "
+                        "input shape); lower it to fit big datasets in HBM")
+    p.add_argument("--device-aug-hbm-gb", type=float, default=8.0,
+                   help="HBM budget for the resident dataset")
     p.add_argument("--seed", type=int, default=11)
     p.add_argument("--compute-dtype", default="bfloat16",
                    choices=["float32", "bfloat16"])
@@ -194,13 +207,52 @@ def main():
     val_ds = PairedDetectionDataset(val_lines, cfg.input_shape, train=False,
                                     mosaic=False, mixup=False)
 
-    def make_loaders(bs: int):
-        return (
-            BatchLoader(train_ds, bs, tc.max_boxes, shuffle=True,
-                        num_workers=args.num_workers, seed=args.seed),
-            BatchLoader(val_ds, bs, tc.max_boxes, shuffle=False,
-                        num_workers=args.num_workers, seed=args.seed),
-        )
+    from dcfa_yolo_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh()
+
+    if args.device_aug:
+        from dcfa_yolo_tpu.data.device_aug import DeviceAugLoader
+
+        stage_hw = tuple(args.device_aug_stage or cfg.input_shape)
+        _staged_cache = {}  # reuse staged arrays + HBM copy across bs switches
+
+        def make_loaders(bs: int):
+            t0 = time.perf_counter()
+            tl = DeviceAugLoader(
+                train_lines, cfg.input_shape, bs, mesh, train=True,
+                max_boxes=tc.max_boxes, stage_hw=stage_hw, mosaic=tc.mosaic,
+                mosaic_prob=tc.mosaic_prob, mixup=tc.mixup,
+                mixup_prob=tc.mixup_prob,
+                special_aug_ratio=tc.special_aug_ratio,
+                epoch_length=tc.unfreeze_epoch, shuffle=True, seed=args.seed,
+                max_hbm_gb=args.device_aug_hbm_gb,
+                staged=_staged_cache.get("train"),
+                dev_data=_staged_cache.get("train_dev"))
+            vl = DeviceAugLoader(
+                val_lines, cfg.input_shape, bs, mesh, train=False,
+                max_boxes=tc.max_boxes, stage_hw=stage_hw, shuffle=False,
+                seed=args.seed, max_hbm_gb=args.device_aug_hbm_gb,
+                staged=_staged_cache.get("val"),
+                dev_data=_staged_cache.get("val_dev"))
+            if "train" not in _staged_cache:
+                print(f"[device-aug] staged {num_train}+{num_val} pairs at "
+                      f"{stage_hw} into HBM in {time.perf_counter()-t0:.1f}s "
+                      f"({(tl.host_ds.images.nbytes + vl.host_ds.images.nbytes)/1e6:.0f} MB)",
+                      flush=True)
+            _staged_cache.update(
+                train=tl.host_ds, val=vl.host_ds,
+                train_dev=(tl.dev_images, tl.dev_boxes, tl.dev_nbox),
+                val_dev=(vl.dev_images, vl.dev_boxes, vl.dev_nbox))
+            return tl, vl
+    else:
+        def make_loaders(bs: int):
+            return (
+                BatchLoader(train_ds, bs, tc.max_boxes, shuffle=True,
+                            num_workers=args.num_workers, seed=args.seed),
+                BatchLoader(val_ds, bs, tc.max_boxes, shuffle=False,
+                            num_workers=args.num_workers, seed=args.seed),
+            )
 
     current_bs = phase_batch_size(args.init_epoch)
     train_loader, val_loader = make_loaders(current_bs)
@@ -227,7 +279,8 @@ def main():
     else:
         ema_updates = epoch_step * init_epoch
 
-    trainer = Trainer(model, variables, tc, ema_updates=ema_updates,
+    trainer = Trainer(model, variables, tc, mesh=mesh,
+                      ema_updates=ema_updates,
                       train_bifpn=not args.frozen_bifpn)
     if resume_payload is not None:
         from dcfa_yolo_tpu.train.ema import EMAState
@@ -251,6 +304,8 @@ def main():
     best_val = float("inf")
     for epoch in range(init_epoch, tc.unfreeze_epoch):
         train_ds.set_epoch(epoch)
+        if args.device_aug:
+            train_loader.set_epoch(epoch)
         lr = lr_fn(epoch)
         freeze = tc.freeze_train and epoch < tc.freeze_epoch
         if phase_batch_size(epoch) != current_bs:
@@ -278,7 +333,8 @@ def main():
                 fetch_wait += time.perf_counter() - t0
                 if hb is None:
                     break
-                batch = trainer.put_batch(*hb)
+                # device-aug batches are already device-resident and sharded
+                batch = hb if args.device_aug else trainer.put_batch(*hb)
                 timer.start()
                 lb = trainer.train_step(batch, lr, freeze_backbone=freeze)
                 timer.stop()
@@ -316,7 +372,8 @@ def main():
         for it, hb in enumerate(val_loader):
             if it >= epoch_step_val:
                 break
-            lb = trainer.eval_step(trainer.put_batch(*hb))
+            lb = trainer.eval_step(
+                hb if args.device_aug else trainer.put_batch(*hb))
             val_losses.append(lb.total)
         val_loss = float(np.mean([float(x) for x in val_losses])) if val_losses else 0.0
 
