@@ -7,11 +7,14 @@ mosaic augmentation.  Both bottlenecks disappear when the decoded dataset is
 staged into device HBM once (uint8, ~2.5 MB per RGB+NIR pair at 640^2) and
 everything after JPEG decode is a jitted TPU program: per-step host->device
 traffic drops to tile indices plus a few geometry scalars (~KB), and the
-augmentation itself rides the MXU (resampling lowers to two batched matmuls
-per tile via `jax.image.scale_and_translate`).  Measured on the v5e chip
-(tools/bench_device_aug.py, b16 640^2 mosaic+mixup on every sample): aug
-76.7 ms/batch, aug+train-step chain 134.8 ms/step = 119 img/s end-to-end,
-vs a 5.9 s/step H2D floor for the host-fed float32 path on this link.
+augmentation itself rides the MXU -- each slot's resize+paste is two batched
+contractions against custom per-slot weight matrices with the flips and the
+mosaic quadrant masks folded into the weights (see `make_device_augment`).
+Measured on the v5e chip (tools/bench_device_aug.py, b16 640^2 mosaic+mixup
+on every sample): aug 47.1 ms/batch bf16 (58.0 f32), aug+train-step chain
+106.7 ms/step = 150 img/s end-to-end, vs a multi-second H2D floor for the
+host-fed float32 path on this link.  bf16 resampling keeps geometry f32-exact
+(box outputs bit-identical); pixel delta vs f32 is sub-LSB (p99 0.27 LSB).
 
 Behavioral counterpart of the reference host-side pipeline
 (`/root/reference/utils/dataloader_mul.py:86-379`):
@@ -270,21 +273,44 @@ class ParamSampler:
 # Device program
 # ---------------------------------------------------------------------------
 
-def _composite(tile, nw, nh, dx, dy, out_hw, method):
-    """Resize a (2,S,S,3) staged tile pair to (nh,nw) and paste at (dx,dy) on
-    a gray(128) (2,H,W,3) canvas -- one `scale_and_translate` whose zero-fill
-    becomes the gray padding via a -128 shift.  Equivalent to the host
-    `_resize_paste` (PIL bicubic) to within kernel/boundary differences."""
-    import jax
+def _keys_cubic(x):
+    """Keys cubic convolution kernel (a=-0.5), the BICUBIC kernel.  Matches
+    `jax.image.ResizeMethod.CUBIC` exactly (jax._src.image.scale)."""
+    import jax.numpy as jnp
 
-    h, w = out_hw
-    s_h, s_w = tile.shape[1], tile.shape[2]
-    scale = jax.numpy.stack([nh / s_h, nw / s_w])
-    trans = jax.numpy.stack([dy, dx]).astype(tile.dtype)
-    out = jax.image.scale_and_translate(
-        tile - 128.0, (2, h, w, 3), (1, 2), scale.astype(tile.dtype), trans,
-        method=method, antialias=True)
-    return out + 128.0
+    out = ((1.5 * x - 2.5) * x) * x + 1.0
+    out = jnp.where(x >= 1.0, ((-0.5 * x + 2.5) * x - 4.0) * x + 2.0, out)
+    return jnp.where(x >= 2.0, 0.0, out)
+
+
+def _weight_matrix(in_size, out_size, n_px, d_px, mirror):
+    """(in_size, out_size) f32 resampling matrix: resize a source axis to
+    ``n_px`` pixels pasted at offset ``d_px`` of an ``out_size`` canvas,
+    antialiased Keys-cubic, output pixels outside the paste extent zeroed
+    (the caller turns that zero-fill into gray padding via a -128 shift).
+
+    Semantics match `jax.image.scale_and_translate(scale=n/in, translation=d,
+    cubic, antialias=True)` -- pinned by tests/test_device_aug.py.  ``mirror``
+    folds a horizontal source flip into the weights (u -> in_size-1-u), which
+    replaces materialized `reverse` ops on full canvases; geometry stays f32
+    regardless of the image compute dtype.
+    """
+    import jax.numpy as jnp
+
+    scale = n_px / in_size
+    inv = 1.0 / scale
+    kscale = jnp.maximum(inv, 1.0)  # antialias: widen kernel when shrinking
+    sample = (jnp.arange(out_size, dtype=jnp.float32) + 0.5) * inv \
+        - d_px * inv - 0.5
+    sample_m = jnp.where(mirror > 0, (in_size - 1.0) - sample, sample)
+    x = jnp.abs(sample_m[None, :]
+                - jnp.arange(in_size, dtype=jnp.float32)[:, None]) / kscale
+    w = _keys_cubic(x)
+    total = jnp.sum(w, axis=0, keepdims=True)
+    w = jnp.where(jnp.abs(total) > 1000.0 * np.finfo(np.float32).eps,
+                  w / jnp.where(total != 0, total, 1.0), 0.0)
+    valid = (sample >= -0.5) & (sample <= in_size - 0.5)
+    return jnp.where(valid[None, :], w, 0.0)
 
 
 def _rgb_to_hsv_cv(img):
@@ -380,13 +406,24 @@ def _merge_quadrants(boxes, valid, cutx, cuty):
 
 
 def make_device_augment(out_hw: Tuple[int, int], max_boxes: int = 64,
-                        method: str = "cubic", resample_dtype=None):
+                        resample_dtype=None):
     """Build the jittable augmentation program.
 
     Returns ``augment(images_u8, boxes_norm, nbox, params) ->
     (rgb, nir, gt_boxes, gt_labels, gt_mask)`` where images_u8 is the
     device-resident (N,2,Sh,Sw,3) uint8 dataset and params a GeomParams of
     device arrays.  Fully fixed-shape; vmapped over the batch.
+
+    Pixel path design (TPU): each slot's resize+paste is two batched MXU
+    contractions against per-slot f32 weight matrices (`_weight_matrix`).
+    Horizontal flips (pre- and post-composite) and the mosaic quadrant
+    stitch are FOLDED INTO THE WEIGHTS -- a post-composite flip is the same
+    composite with mirrored content at dx' = W-nw-dx, and each quadrant mask
+    is a rank-1 outer product row_mask(h)*col_mask(w) absorbed into the two
+    weight matrices -- so no reversed or masked full-canvas intermediates are
+    ever materialized (these were ~2/3 of the program's HBM traffic).  With
+    ``resample_dtype=bfloat16`` the image operands ride the MXU at bf16 with
+    f32 accumulation while the geometry stays exact (weights are f32).
     """
     import jax
     import jax.numpy as jnp
@@ -397,30 +434,57 @@ def make_device_augment(out_hw: Tuple[int, int], max_boxes: int = 64,
     def one_sample(tiles, tboxes, tvalid, p_preflip, p_postflip, p_nw, p_nh,
                    p_dx, p_dy, p_mode, p_mix, p_cut, p_hsv):
         # tiles: (5, 2, S, S, 3) uint8
-        src = tiles.astype(rdt)
-        flip = p_preflip.reshape(5, 1, 1, 1, 1) > 0
-        src = jnp.where(flip, src[:, :, :, ::-1, :], src)
-        canv = jax.vmap(
-            lambda t, nw_, nh_, dx_, dy_: _composite(
-                t, nw_, nh_, dx_, dy_, out_hw, method)
-        )(src, p_nw.astype(rdt), p_nh.astype(rdt), p_dx.astype(rdt),
-          p_dy.astype(rdt))                       # (5, 2, H, W, 3)
-        canv = canv.astype(jnp.float32)
-        pflip = p_postflip.reshape(5, 1, 1, 1, 1) > 0
-        canv = jnp.where(pflip, canv[:, :, :, ::-1, :], canv)
+        sh, sw = tiles.shape[2], tiles.shape[3]
+        # content mirror = preflip XOR postflip; postflip also mirrors the
+        # paste position (flip(composite(t)) == composite(mirror(t)) at
+        # dx' = W - nw - dx)
+        mirror = jnp.abs(p_preflip - p_postflip)
+        dx_eff = jnp.where(p_postflip > 0, w - p_nw - p_dx, p_dx)
+        wh = jax.vmap(lambda n, d: _weight_matrix(sh, h, n, d, 0.0))(
+            p_nh, p_dy)                                    # (5, S, H)
+        ww = jax.vmap(_weight_matrix, in_axes=(None, None, 0, 0, 0))(
+            sw, w, p_nw, dx_eff, mirror)                   # (5, S, W)
 
-        # mosaic stitch (`dataloader_mul.py:290-296` paste order TL,BL,BR,TR)
+        # mosaic quadrant masks (paste order TL,BL,BR,TR,
+        # `dataloader_mul.py:264-271, 290-296`) are separable -> fold into
+        # the slot weight matrices; when not mosaic, slot 0 passes whole and
+        # slots 1-3 vanish, so the masked sum IS the plain composite.
         cutx, cuty = p_cut[0], p_cut[1]
-        ys = jnp.arange(h, dtype=jnp.float32).reshape(1, h, 1, 1)
-        xs = jnp.arange(w, dtype=jnp.float32).reshape(1, 1, w, 1)
-        top, left = ys < cuty, xs < cutx
-        mosaic = jnp.where(
-            top & left, canv[0],
-            jnp.where(~top & left, canv[1],
-                      jnp.where(~top & ~left, canv[2], canv[3])))
-        mosaic = _hsv_jitter(mosaic, p_hsv)
-        main = jnp.where(p_mode > 0, mosaic, canv[0])
-        out = jnp.where(p_mix > 0, 0.5 * main + 0.5 * canv[4], main)
+        is_m = p_mode > 0
+        top = (jnp.arange(h, dtype=jnp.float32) < cuty).astype(jnp.float32)
+        left = (jnp.arange(w, dtype=jnp.float32) < cutx).astype(jnp.float32)
+        oh, ow = jnp.ones((h,), jnp.float32), jnp.ones((w,), jnp.float32)
+        zh, zw = jnp.zeros((h,), jnp.float32), jnp.zeros((w,), jnp.float32)
+        rowm = jnp.where(is_m, jnp.stack([top, 1 - top, 1 - top, top]),
+                         jnp.stack([oh, zh, zh, zh]))      # (4, H)
+        colm = jnp.where(is_m, jnp.stack([left, left, 1 - left, 1 - left]),
+                         jnp.stack([ow, zw, zw, zw]))      # (4, W)
+        wh4 = (wh[:4] * rowm[:, None, :]).astype(rdt)
+        ww4 = (ww[:4] * colm[:, None, :]).astype(rdt)
+
+        src = tiles.astype(rdt) - jnp.asarray(128.0, rdt)  # (5,2,S,S,3)
+        f32 = jnp.float32
+        # f32 operands: force full-precision MXU passes so the output matches
+        # `scale_and_translate` (whose default precision is HIGHEST) bit-near;
+        # bf16 operands ride the MXU natively (precision is an f32 concept).
+        prec = "highest" if rdt == jnp.float32 else None
+
+        def resample(t, wh_, ww_):
+            # t (..., 2, Sh, Sw, 3) x wh_ (..., Sh, H) x ww_ (..., Sw, W)
+            t1 = jnp.einsum("...mikc,...ih->...mhkc", t, wh_,
+                            preferred_element_type=f32,
+                            precision=prec).astype(rdt)
+            return jnp.einsum("...mhkc,...kw->...mhwc", t1, ww_,
+                              preferred_element_type=f32, precision=prec)
+
+        # masked quadrant sum: sum(mask_s) == 1 on the canvas, so adding the
+        # per-slot zero-filled composites and one gray offset reconstructs
+        # the stitched mosaic (or the plain composite when not mosaic)
+        comp = resample(src[:4], wh4, ww4).sum(0) + 128.0  # (2, H, W, 3)
+        mixp = resample(src[4], wh[4].astype(rdt), ww[4].astype(rdt)) + 128.0
+
+        main = jnp.where(is_m, _hsv_jitter(comp, p_hsv), comp)
+        out = jnp.where(p_mix > 0, 0.5 * main + 0.5 * mixp, main)
         out = jnp.clip(out, 0.0, 255.0) / 255.0   # uint8 saturation + /255
 
         # ---- boxes ----

@@ -111,8 +111,11 @@ def test_postflip_flips_canvas_and_boxes(tmp_path):
     # device_put may alias/defer-read the numpy buffers (async dispatch)
     p.postflip[0, 0] = 1.0
     flipped = ld.augment_batch(p.idx, p)
+    # the flip is folded into the resampling weights (mirrored sample
+    # coordinates), not a post-hoc `reverse`, so the mirror identity holds to
+    # float eps (~1e-3 of a uint8 LSB), not bit-exactly
     np.testing.assert_allclose(np.asarray(flipped.rgb[0]),
-                               plain_rgb[:, ::-1], atol=1e-6)
+                               plain_rgb[:, ::-1], atol=1e-5)
     # boxes: x -> W - x swap (`dataloader_mul.py:164-165`)
     pm, fm = np.asarray(plain.gt_mask[0]) > 0, np.asarray(flipped.gt_mask[0]) > 0
     pb = np.asarray(plain.gt_boxes[0])[pm]

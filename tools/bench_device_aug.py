@@ -8,8 +8,9 @@ Times three things with honest (fetch-synced) measurement:
   3. an aug -> train-step chain (the realistic per-step cost of the
      --device-aug pipeline).
 
-Usage: python tools/bench_device_aug.py [annotation.txt] [batch] [size]
-(Defaults synthesize a 32-pair random dataset in memory.)
+Usage: python tools/bench_device_aug.py [annotation.txt] [batch] [size] [rdt]
+(Defaults synthesize a 32-pair random dataset in memory; rdt = f32|bf16
+selects the resampling matmul operand dtype.)
 """
 
 import os
@@ -32,6 +33,8 @@ def main():
     ann = sys.argv[1] if len(sys.argv) > 1 else ""
     batch = int(sys.argv[2]) if len(sys.argv) > 2 else 16
     size = int(sys.argv[3]) if len(sys.argv) > 3 else 640
+    rdt = jnp.bfloat16 if (len(sys.argv) > 4 and sys.argv[4] == "bf16") else None
+    print("resample dtype:", rdt or "float32", flush=True)
 
     from dcfa_yolo_tpu.config import ModelConfig, TrainConfig
     from dcfa_yolo_tpu.data.device_aug import DeviceAugLoader, StagedDataset
@@ -61,7 +64,7 @@ def main():
     t0 = time.perf_counter()
     ld = DeviceAugLoader(lines, (size, size), batch, mesh, max_boxes=64,
                          mosaic_prob=1.0, mixup_prob=1.0, epoch_length=100,
-                         seed=0, staged=staged)
+                         seed=0, staged=staged, resample_dtype=rdt)
     ld.set_epoch(0)
     print(f"staging+upload: {time.perf_counter()-t0:.1f}s "
           f"({ld.host_ds.images.nbytes/1e6:.0f} MB resident)", flush=True)

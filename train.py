@@ -90,6 +90,11 @@ def parse_args():
                         "input shape); lower it to fit big datasets in HBM")
     p.add_argument("--device-aug-hbm-gb", type=float, default=8.0,
                    help="HBM budget for the resident dataset")
+    p.add_argument("--device-aug-dtype", default="bfloat16",
+                   choices=["float32", "bfloat16"],
+                   help="resampling-matmul operand dtype for --device-aug; "
+                        "bf16 rides the MXU ~1.6x faster with f32-exact "
+                        "geometry (weights stay f32) and sub-LSB pixel error")
     p.add_argument("--seed", type=int, default=11)
     p.add_argument("--compute-dtype", default="bfloat16",
                    choices=["float32", "bfloat16"])
@@ -215,7 +220,12 @@ def main():
         from dcfa_yolo_tpu.data.device_aug import DeviceAugLoader
 
         stage_hw = tuple(args.device_aug_stage or cfg.input_shape)
+        import jax.numpy as jnp
+
         _staged_cache = {}  # reuse staged arrays + HBM copy across bs switches
+        # XLA:CPU cannot lower bf16 x bf16 -> f32 dots; fall back to f32 there
+        _rdt = (jnp.bfloat16 if args.device_aug_dtype == "bfloat16"
+                and jax.default_backend() != "cpu" else None)
 
         def make_loaders(bs: int):
             t0 = time.perf_counter()
@@ -227,6 +237,7 @@ def main():
                 special_aug_ratio=tc.special_aug_ratio,
                 epoch_length=tc.unfreeze_epoch, shuffle=True, seed=args.seed,
                 max_hbm_gb=args.device_aug_hbm_gb,
+                resample_dtype=_rdt,
                 staged=_staged_cache.get("train"),
                 dev_data=_staged_cache.get("train_dev"))
             vl = DeviceAugLoader(
