@@ -3,7 +3,8 @@
 Protocol (matches the reference FPS protocol, `yolo_mul.py:132-166`: repeated
 full forward+decode+NMS, steady state after warm-up) but batched and fully on
 device: letterbox preprocess, dual-backbone forward, DFL decode, class-aware
-NMS, letterbox unmap — one jit, batch 8, bfloat16, RepGhost-fused deploy graph.
+NMS, letterbox unmap — one jit, batch 32 (BENCH_BATCH), bfloat16,
+RepGhost-fused deploy graph.
 
 Timing is **chained-dependency** (utils/profiling.timeit_chained): each
 iteration's input depends on the previous iteration's output, so the device

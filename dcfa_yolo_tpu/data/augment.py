@@ -62,26 +62,31 @@ def _resize_paste(img: Image.Image, resized_wh: Tuple[int, int],
 # 4 worker processes hide this behind cores this container doesn't have.
 # Bounded by bytes; thread-safe for the BatchLoader pool.
 _CACHE_BYTES = int(float(os.environ.get("DCFA_IMAGE_CACHE_MB", "2048")) * 1e6)
-_cache: "dict[str, np.ndarray]" = {}
+_cache: "OrderedDict[str, np.ndarray]" = __import__("collections").OrderedDict()
 _cache_lock = __import__("threading").Lock()
 _cache_size = 0
 
 
-def _load_rgb_u8(path: str) -> np.ndarray:
+def _load_rgb_u8(path: str, cache: bool = True) -> np.ndarray:
+    """Decode ``path`` to RGB uint8.  ``cache=False`` bypasses the LRU
+    entirely (one-shot consumers like device_aug staging must not pin host
+    RAM that is never read again)."""
     global _cache_size
-    with _cache_lock:
-        arr = _cache.get(path)
-        if arr is not None:
-            return arr
+    if cache:
+        with _cache_lock:
+            arr = _cache.get(path)
+            if arr is not None:
+                _cache.move_to_end(path)  # refresh recency
+                return arr
     img = Image.open(path)
     if img.mode != "RGB":
         img = img.convert("RGB")
     arr = np.asarray(img, np.uint8)
-    if _CACHE_BYTES > 0:
+    if cache and _CACHE_BYTES > 0:
         with _cache_lock:
             if path not in _cache:
                 while _cache and _cache_size + arr.nbytes > _CACHE_BYTES:
-                    _, old = _cache.popitem()
+                    _, old = _cache.popitem(last=False)  # evict LRU end
                     _cache_size -= old.nbytes
                 if arr.nbytes <= _CACHE_BYTES:
                     _cache[path] = arr

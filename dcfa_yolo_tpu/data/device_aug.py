@@ -100,8 +100,10 @@ def stage_pairs(lines: Sequence[str], stage_hw: Tuple[int, int],
     orig_wh = np.zeros((n, 2), np.float32)
     for i, line in enumerate(lines):
         parts = line.split()
-        rgb = _load_rgb_u8(parts[0])
-        nir = _load_rgb_u8(parts[1])
+        # cache=False: staging is one-shot; inserting into the host LRU would
+        # pin GBs of decoded images that --device-aug never reads again
+        rgb = _load_rgb_u8(parts[0], cache=False)
+        nir = _load_rgb_u8(parts[1], cache=False)
         ih, iw = rgb.shape[:2]
         orig_wh[i] = (iw, ih)
         for m, arr in enumerate((rgb, nir)):
@@ -178,10 +180,16 @@ class ParamSampler:
         # the reference would crash in PIL on a 0-size resize; clamp instead
         return max(nw, 1), max(nh, 1)
 
+    def _orig_wh(self, img_idx):
+        # Python floats (f64): the reference does this arithmetic in double,
+        # and float32 products can flip an int() truncation by one pixel
+        iw, ih = self.ds.orig_wh[img_idx]
+        return float(iw), float(ih)
+
     def _plain_slot(self, rng, img_idx):
         """load_pair_random geometry (`dataloader_mul.py:136-158`): jitter +
         scale(.25,2) + random placement; flip applied to the composited canvas."""
-        iw, ih = self.ds.orig_wh[img_idx]
+        iw, ih = self._orig_wh(img_idx)
         nw, nh = self._jitter_geom(rng, iw, ih, 0.25, 2.0)
         dx = int(self._rand(rng, 0, self.w - nw))
         dy = int(self._rand(rng, 0, self.h - nh))
@@ -210,7 +218,7 @@ class ParamSampler:
             p.idx[k, :] = index
             if not self.train:
                 # deterministic val letterbox (`dataloader_mul.py:101-131`)
-                iw, ih = self.ds.orig_wh[index]
+                iw, ih = self._orig_wh(index)
                 scale = min(self.w / iw, self.h / ih)
                 nw, nh = int(iw * scale), int(ih * scale)
                 p.nw[k, 0], p.nh[k, 0] = nw, nh
@@ -234,7 +242,7 @@ class ParamSampler:
                 p.cut[k] = (int(self.w * mox), int(self.h * moy))
                 for s in range(4):
                     ii = int(tile_idx[s])
-                    iw, ih = self.ds.orig_wh[ii]
+                    iw, ih = self._orig_wh(ii)
                     flip = self._rand(rng) < 0.5
                     # flip is a no-op for box-less tiles (`:247-251` quirk)
                     p.preflip[k, s] = float(flip and self.ds.nbox[ii] > 0)
@@ -422,8 +430,10 @@ def make_device_augment(out_hw: Tuple[int, int], max_boxes: int = 64,
     is a rank-1 outer product row_mask(h)*col_mask(w) absorbed into the two
     weight matrices -- so no reversed or masked full-canvas intermediates are
     ever materialized (these were ~2/3 of the program's HBM traffic).  With
-    ``resample_dtype=bfloat16`` the image operands ride the MXU at bf16 with
-    f32 accumulation while the geometry stays exact (weights are f32).
+    ``resample_dtype=bfloat16`` BOTH matmul operands (pixels and the weight
+    matrices, which are computed in f32 then cast) ride the MXU at bf16 with
+    f32 accumulation; box geometry is untouched by the cast (bit-identical to
+    f32), pixel delta is sub-LSB (p99 0.27 of a uint8 step).
     """
     import jax
     import jax.numpy as jnp
@@ -606,6 +616,10 @@ class DeviceAugLoader:
 
     def set_epoch(self, epoch: int) -> None:
         self.sampler.set_epoch(epoch)
+        # pin the iteration RNG stream to the true epoch so a loader rebuilt
+        # mid-run (freeze->unfreeze batch-size switch) continues the shuffle/
+        # augmentation streams instead of replaying epoch 0's
+        self._epoch = epoch
 
     def throughput(self):
         return None  # host does ~nothing per batch; the device is the loader

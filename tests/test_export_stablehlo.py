@@ -1,0 +1,53 @@
+"""StableHLO serving export: the fused pipeline serializes, deserializes,
+and reproduces the in-process outputs exactly (tools/export_stablehlo.py).
+
+The reference's deployment surface is "load the .pth in Python"
+(`/root/reference/yolo_mul.py:51-62`); the exported artifact replaces that
+with a self-contained program (weights as constants) callable without any
+model code in scope.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from dcfa_yolo_tpu.config import ModelConfig
+from dcfa_yolo_tpu.models.yolo import init_model
+
+
+def test_export_roundtrip_matches_pipeline():
+    from jax import export as jexport
+
+    from tools.export_stablehlo import build_exported
+    from dcfa_yolo_tpu.infer.pipeline import detect_batch
+    from dcfa_yolo_tpu.models.reparam import deploy_variables
+    from dcfa_yolo_tpu.models.yolo import DCFAYolo
+
+    cfg = ModelConfig(num_classes=2, phi="n", input_shape=(64, 64))
+    _, variables = init_model(cfg, jax.random.PRNGKey(0))
+    batch = 2
+
+    exported = build_exported(variables, cfg, batch, conf=0.01, nms_iou=0.5,
+                              max_det=20)
+    blob = exported.serialize()
+    assert len(blob) > 1000  # weights baked in
+
+    rng = np.random.Generator(np.random.PCG64(0))
+    rgb = rng.integers(0, 255, (batch, 64, 64, 3), dtype=np.uint8)
+    nir = rng.integers(0, 255, (batch, 64, 64, 3), dtype=np.uint8)
+    hw = np.tile([64.0, 64.0], (batch, 1)).astype(np.float32)
+
+    # the deserialized artifact stands alone: call it and compare against the
+    # in-process pipeline on the SAME deploy graph
+    got = jexport.deserialize(blob).call(rgb, nir, hw)
+
+    model = DCFAYolo(cfg, deploy=True)
+    dvars = jax.jit(deploy_variables)(variables)
+    want = detect_batch(model, dvars,
+                        jnp.asarray(rgb), jnp.asarray(nir), jnp.asarray(hw),
+                        conf_thres=0.01, iou_thres=0.5, letterbox=True,
+                        max_det=20, nms_backend="xla")
+    for a, b in zip(jax.tree_util.tree_leaves(want),
+                    jax.tree_util.tree_leaves(got)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-6)

@@ -93,8 +93,8 @@ def parse_args():
     p.add_argument("--device-aug-dtype", default="bfloat16",
                    choices=["float32", "bfloat16"],
                    help="resampling-matmul operand dtype for --device-aug; "
-                        "bf16 rides the MXU ~1.6x faster with f32-exact "
-                        "geometry (weights stay f32) and sub-LSB pixel error")
+                        "bf16 rides the MXU ~1.6x faster with bit-identical "
+                        "box geometry and sub-LSB pixel error vs float32")
     p.add_argument("--seed", type=int, default=11)
     p.add_argument("--compute-dtype", default="bfloat16",
                    choices=["float32", "bfloat16"])
@@ -243,6 +243,9 @@ def main():
             vl = DeviceAugLoader(
                 val_lines, cfg.input_shape, bs, mesh, train=False,
                 max_boxes=tc.max_boxes, stage_hw=stage_hw, shuffle=False,
+                # keep the ragged tail (padded): a val set smaller than the
+                # batch must still produce one eval batch
+                drop_last=False,
                 seed=args.seed, max_hbm_gb=args.device_aug_hbm_gb,
                 staged=_staged_cache.get("val"),
                 dev_data=_staged_cache.get("val_dev"))
@@ -314,17 +317,20 @@ def main():
 
     best_val = float("inf")
     for epoch in range(init_epoch, tc.unfreeze_epoch):
-        train_ds.set_epoch(epoch)
-        if args.device_aug:
-            train_loader.set_epoch(epoch)
-        lr = lr_fn(epoch)
-        freeze = tc.freeze_train and epoch < tc.freeze_epoch
         if phase_batch_size(epoch) != current_bs:
             current_bs = phase_batch_size(epoch)
             print(f"switching to batch size {current_bs} (unfreeze phase)")
             train_loader, val_loader = make_loaders(current_bs)
             epoch_step = num_train // current_bs
             epoch_step_val = max(num_val // current_bs, 1)
+        # set_epoch AFTER any loader swap so the freshly built loader gets the
+        # true epoch (mosaic epoch-gate + per-epoch RNG stream), not a stale
+        # or reset one
+        train_ds.set_epoch(epoch)
+        if args.device_aug:
+            train_loader.set_epoch(epoch)
+        lr = lr_fn(epoch)
+        freeze = tc.freeze_train and epoch < tc.freeze_epoch
 
         # losses stay on device during the epoch: a host sync per step
         # serializes async dispatch (very costly on remote platforms)
@@ -367,8 +373,12 @@ def main():
             step_rate = n_steps / epoch_wall if epoch_wall else 0.0
             cap = train_loader.throughput()
             cap_s = f"{cap:.2f} batches/s" if cap is not None else "n/a"
+            # starved when the loader cannot match the PURE compute rate
+            # (achieved step_rate is itself capped by the loader, so comparing
+            # cap against step_rate could never fire)
+            compute_rate = 1000.0 / s["mean_ms"] if s["mean_ms"] else 0.0
             starved = (f" (STARVED: waited {fetch_wait:.1f}s on data)"
-                       if cap is not None and cap < step_rate else "")
+                       if cap is not None and cap < compute_rate else "")
             print(f"step timing: mean {s['mean_ms']:.1f} ms p50 {s['p50_ms']:.1f} "
                   f"p95 {s['p95_ms']:.1f} over {s['steps']} steps | "
                   f"step rate {step_rate:.2f}/s, loader capacity {cap_s}"
