@@ -24,7 +24,9 @@ import numpy as np
 
 from dcfa_yolo_tpu.evalmap.voc_map import _parse_dr_dir, _parse_gt_dir
 
-IOU_THRESHOLDS = np.arange(0.5, 1.0, 0.05)
+# linspace, not arange: arange(0.5, 1.0, 0.05) drifts (last value
+# 0.9500000000000004), which would flip IoU==0.95 matches vs COCOeval
+IOU_THRESHOLDS = np.linspace(0.5, 0.95, 10)
 RECALL_POINTS = np.linspace(0.0, 1.0, 101)
 
 
@@ -56,6 +58,10 @@ def _class_ap(dets: List[dict], gt_by_image: Dict[str, np.ndarray],
             per_image_count[d["file_id"]] += 1
             kept.append(d)
     nd = len(kept)
+    if nd == 0:
+        # gt exists but nothing was detected: AP 0 at every threshold (the
+        # size-0 precision array would otherwise crash the interpolation)
+        return np.zeros(len(IOU_THRESHOLDS))
     tp = np.zeros((len(IOU_THRESHOLDS), nd))
     used: Dict[Tuple[int, str], np.ndarray] = {}
     ious_cache: Dict[str, np.ndarray] = {}

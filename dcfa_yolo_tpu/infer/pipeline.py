@@ -104,3 +104,15 @@ def heatmap_scores(model: DCFAYolo, variables, rgb: jnp.ndarray, nir: jnp.ndarra
         cls = f[..., 4 * cfg.reg_max:]
         maps.append(jnp.max(jax.nn.sigmoid(cls), axis=-1))
     return tuple(maps)
+
+
+@functools.partial(jax.jit, static_argnames=("model",))
+def heatmap_batch_jit(model: DCFAYolo, variables, rgb_raw, nir_raw
+                      ) -> Tuple[jnp.ndarray, ...]:
+    """Letterbox + /255 + heatmap_scores under ONE jit — eager dispatch is an
+    RPC per op on remote platforms, so the whole heatmap path compiles like
+    detect_batch_jit does."""
+    in_hw = model.cfg.input_shape
+    r = letterbox_batch(rgb_raw, in_hw) / 255.0
+    n = letterbox_batch(nir_raw, in_hw) / 255.0
+    return heatmap_scores(model, variables, r, n)

@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from dcfa_yolo_tpu.config import ModelConfig, PredictConfig
-from dcfa_yolo_tpu.infer.pipeline import detect_batch_jit, heatmap_scores
+from dcfa_yolo_tpu.infer.pipeline import detect_batch_jit
 from dcfa_yolo_tpu.models.yolo import DCFAYolo, init_model
 
 
@@ -81,15 +81,24 @@ class YOLOPredictor:
             input_shape=tuple(input_shape), compute_dtype=compute_dtype)
         self.model = DCFAYolo(self.cfg, deploy=deploy)
         if variables is not None:
+            # caller-supplied variables must match the chosen graph (deploy
+            # callers pass the output of deploy_variables)
             self.variables = variables
         else:
+            # checkpoints live in the TRAIN-graph key space (the reference
+            # never saves fused weights — switch_to_deploy is dormant,
+            # SURVEY §2.1), so always build/load the train template and
+            # re-parameterize afterwards when serving the deploy graph
             _, template = init_model(self.cfg, jax.random.PRNGKey(0))
             if model_path:
                 from dcfa_yolo_tpu.utils.checkpoint import load_variables
 
-                self.variables = load_variables(model_path, template)
-            else:
-                self.variables = template
+                template = load_variables(model_path, template)
+            if deploy:
+                from dcfa_yolo_tpu.models.reparam import deploy_variables
+
+                template = jax.jit(deploy_variables)(template)
+            self.variables = template
 
         hsv = [(x / self.num_classes, 1.0, 1.0) for x in range(self.num_classes)]
         self.colors = [tuple(int(c * 255) for c in colorsys.hsv_to_rgb(*t)) for t in hsv]
@@ -187,12 +196,10 @@ class YOLOPredictor:
         self._run(rgb, nir)  # warm-up/compile
         t1 = time.time()
         for _ in range(test_interval):
-            image_hw = np.array([rgb.shape[:2]], dtype=np.float32)
-            res = detect_batch_jit(
-                self.model, self.variables, jnp.asarray(rgb[None]),
-                jnp.asarray(nir[None]), image_hw, conf_thres=self.confidence,
-                iou_thres=self.nms_iou, letterbox=self.letterbox_image,
-                max_det=self.max_det)
+            # the exact configured pipeline (incl. nms_backend) — timing a
+            # different static-arg combination would measure the wrong
+            # program and trigger a fresh compile
+            res = self._run(rgb, nir)
             jax.block_until_ready(res)
         return (time.time() - t1) / test_interval
 
@@ -207,11 +214,12 @@ class YOLOPredictor:
 
         rgb = pil_to_rgb_array(image_rgb)
         nir = pil_to_rgb_array(image_nir)
-        from dcfa_yolo_tpu.ops.resize import letterbox_batch
+        from dcfa_yolo_tpu.infer.pipeline import heatmap_batch_jit
 
-        r = letterbox_batch(jnp.asarray(rgb[None]), self.cfg.input_shape) / 255.0
-        n = letterbox_batch(jnp.asarray(nir[None]), self.cfg.input_shape) / 255.0
-        maps = heatmap_scores(self.model, self.variables, r, n)
+        # one compiled program (letterbox + forward + score maps): eager
+        # dispatch here costs an RPC per op on remote platforms
+        maps = heatmap_batch_jit(self.model, self.variables,
+                                 jnp.asarray(rgb[None]), jnp.asarray(nir[None]))
 
         plt.imshow(image_rgb, alpha=1)
         plt.axis("off")

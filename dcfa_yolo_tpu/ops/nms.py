@@ -63,6 +63,16 @@ def _select_candidates(boxes, scores, classes, conf_thres, k, class_aware,
 
 
 def _finalize(keep, top_boxes, top_scores, top_classes, max_det):
+    k = top_scores.shape[0]
+    if k < max_det:
+        # fewer candidates than output slots (tiny inputs or small
+        # pre_nms_topk): top_k(x, max_det) needs len(x) >= max_det, so pad
+        # with always-invalid slots to keep the (max_det,) output shape
+        pad = max_det - k
+        keep = jnp.pad(keep, (0, pad))
+        top_scores = jnp.pad(top_scores, (0, pad), constant_values=-1.0)
+        top_boxes = jnp.pad(top_boxes, ((0, pad), (0, 0)))
+        top_classes = jnp.pad(top_classes, (0, pad), constant_values=-1)
     final_scores = jnp.where(keep, top_scores, -1.0)
     out_scores, out_idx = jax.lax.top_k(final_scores, max_det)
     valid = out_scores > 0.0

@@ -53,10 +53,8 @@ def main():
         confidence=args.confidence, nms_iou=args.nms_iou,
         compute_dtype=args.compute_dtype, deploy=args.deploy,
         nms_backend=args.nms_backend)
-    if args.deploy and args.model_path:
-        from dcfa_yolo_tpu.models.reparam import deploy_variables
-
-        predictor.variables = deploy_variables(predictor.variables)
+    # deploy=True re-parameterizes inside the predictor (train-graph
+    # checkpoint -> fused serving weights); no external transform needed
 
     def load_pair(rgb_path, nir_path):
         return Image.open(rgb_path), Image.open(nir_path)

@@ -83,6 +83,23 @@ class TestCocoMap:
         # precision 1 up to recall 0.5 → 101-pt AP ≈ 51/101
         assert ap50 == pytest.approx(51 / 101, abs=1e-6)
 
+    def test_class_with_gt_but_no_detections(self, tmp_path):
+        """Zero detections for a class with gt must give AP 0, not crash
+        (early-epoch eval: the size-0 precision array used to IndexError)."""
+        gt = {"a": ["c 10 10 50 50\n", "d 60 60 100 100\n"]}
+        dr = {"a": ["d 0.9 60 60 100 100\n"]}  # nothing for class c
+        self._write(tmp_path, gt, dr)
+        ap, ap50 = get_coco_map(["c", "d"], path=str(tmp_path))
+        assert ap50 == pytest.approx(0.5)  # c: 0, d: 1
+
+    def test_iou_thresholds_are_exact(self):
+        """linspace, not arange: the top threshold must be exactly 0.95 so an
+        IoU that computes to 0.95 in double counts as a match (COCOeval)."""
+        from dcfa_yolo_tpu.evalmap.coco_map import IOU_THRESHOLDS
+
+        assert IOU_THRESHOLDS[-1] == 0.95
+        np.testing.assert_allclose(np.diff(IOU_THRESHOLDS), 0.05, rtol=1e-12)
+
     def test_localization_quality_affects_high_iou(self, tmp_path):
         # det overlaps gt with IoU ≈ 0.62 → counts at 0.5-0.6, not at 0.65+
         gt = {"a": ["c 0 0 100 100\n"]}

@@ -74,6 +74,22 @@ class TestNMS:
                          pre_nms_topk=64, max_det=10)
         assert int(np.asarray(out[3]).sum()) == 0
 
+    def test_fewer_candidates_than_max_det(self):
+        """max_det > candidate count must pad, not crash: top_k(x, max_det)
+        needs len(x) >= max_det (e.g. tiny inputs: 96x96 -> 189 anchors
+        < the default max_det=300)."""
+        boxes, scores, classes = random_detections(40, 2, 5)
+        res = batched_nms(jnp.asarray(boxes[None]), jnp.asarray(scores[None]),
+                          jnp.asarray(classes[None]), conf_thres=0.0,
+                          iou_thres=1.1,  # keep everything
+                          pre_nms_topk=16, max_det=300)
+        assert res.boxes.shape == (1, 300, 4)
+        assert int(np.asarray(res.valid).sum()) == 16  # all 16 candidates kept
+        # padded slots are marked invalid with zeroed boxes
+        v = np.asarray(res.valid[0])
+        assert not v[16:].any()
+        np.testing.assert_array_equal(np.asarray(res.boxes[0][16:]), 0.0)
+
     def test_batched(self):
         boxes, scores, classes = random_detections(100, 2, 4)
         res = batched_nms(jnp.asarray(boxes[None].repeat(3, 0)),

@@ -35,6 +35,29 @@ class TestPredictor:
         np.testing.assert_allclose(batched[0][0], single[0], rtol=1e-5, atol=1e-3)
         np.testing.assert_allclose(batched[1][1], single[1], rtol=1e-5)
 
+    def test_deploy_predictor_builds_and_matches_train_graph(self, predictor):
+        """deploy=True must build a deploy-shaped variable template (the
+        train template used to be passed to the fused graph and crash) and
+        agree numerically with the train-graph predictor (reparam identity)."""
+        dep = YOLOPredictor(class_names=["a", "b"], input_shape=(128, 128),
+                            phi="n", confidence=0.01, nms_iou=0.5, max_det=20,
+                            deploy=True)
+        rgb, nir = _pair(7)
+        b0, s0, c0 = predictor.detect(rgb, nir)
+        b1, s1, c1 = dep.detect(rgb, nir)
+        assert len(b0) == len(b1)
+        np.testing.assert_allclose(b1, b0, rtol=1e-4, atol=1e-2)
+        np.testing.assert_allclose(s1, s0, rtol=1e-4, atol=1e-4)
+        np.testing.assert_array_equal(c1, c0)
+
+    def test_detect_heatmap_writes_file(self, predictor, tmp_path):
+        rgb, nir = _pair(8)
+        out = str(tmp_path / "hm.png")
+        predictor.detect_heatmap(rgb, nir, out)
+        import os
+
+        assert os.path.exists(out) and os.path.getsize(out) > 0
+
     def test_detect_image_draws(self, predictor):
         rgb, nir = _pair(2)
         out = predictor.detect_image(rgb, nir)
