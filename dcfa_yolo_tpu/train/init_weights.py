@@ -29,10 +29,17 @@ def _init_kernel(rng: np.random.Generator, shape, init_type: str,
         std = math.sqrt(2.0 / fan_in)
         return (rng.standard_normal(shape) * std).astype(np.float32)
     if init_type == "orthogonal":
+        # torch orthogonal_ semantics: QR on the tall orientation, sign-fix
+        # with diag(r) (length = q columns) BEFORE transposing back — doing
+        # it after broke every kernel with fan_in < cout (e.g. depthwise
+        # (3,3,1,16): sign vector length 9 vs q columns 16)
         flat = rng.standard_normal((int(np.prod(shape[:-1])), cout))
-        q, r = np.linalg.qr(flat if flat.shape[0] >= cout else flat.T)
-        q = q if flat.shape[0] >= cout else q.T
-        q = q * np.sign(np.diag(r))[None, : q.shape[1]]
+        transpose = flat.shape[0] < flat.shape[1]
+        tall = flat.T if transpose else flat
+        q, r = np.linalg.qr(tall)
+        q = q * np.sign(np.diag(r))[None, :]
+        if transpose:
+            q = q.T
         return (init_gain * q.reshape(shape)).astype(np.float32)
     raise NotImplementedError(f"initialization method [{init_type}] is not implemented")
 

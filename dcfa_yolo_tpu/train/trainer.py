@@ -39,6 +39,24 @@ class Batch(NamedTuple):
     gt_mask: jnp.ndarray    # (B, M)
 
 
+def _mask_frozen_opt_state(tx, opt_state, frozen_mask):
+    """Zero the optimizer-state slots of frozen params.
+
+    torch never touches optimizer state for grad-less params (the reference
+    freeze phase, `train_mul.py:231-237`); without this, weight decay feeds
+    wd*p into SGD momentum / Adam moments every frozen step, and the stale
+    accumulator kicks the backbone the moment it unfreezes.  Zeros equal the
+    initial state, so 'never accumulated' and 'zeroed each step' coincide.
+    ``frozen_mask`` leaves are static Python bools, so this selects whole
+    leaves at trace time.
+    """
+    from optax import tree_utils as otu
+
+    return otu.tree_map_params(
+        tx, lambda s, m: jnp.zeros_like(s) if m else s, opt_state,
+        frozen_mask)
+
+
 def make_train_step(model: DCFAYolo, criterion: YoloLoss, tx,
                     train_cfg: TrainConfig, freeze_backbone: bool = False):
     """Returns step(state, batch, lr) -> (state, LossBreakdown)."""
@@ -62,6 +80,7 @@ def make_train_step(model: DCFAYolo, criterion: YoloLoss, tx,
             # still move frozen params (torch skips grad-None params entirely)
             updates = jax.tree_util.tree_map(
                 lambda u, m: jnp.zeros_like(u) if m else u, updates, mask)
+            new_opt = _mask_frozen_opt_state(tx, new_opt, mask)
         updates = jax.tree_util.tree_map(lambda u: u * lr, updates)
         new_params = optax.apply_updates(state.params, updates)
         new_ema = update_ema(
@@ -125,6 +144,7 @@ def make_split_train_step(model: DCFAYolo, criterion: YoloLoss, tx,
         if freeze_backbone:
             updates = jax.tree_util.tree_map(
                 lambda u, m: jnp.zeros_like(u) if m else u, updates, mask)
+            new_opt = _mask_frozen_opt_state(tx, new_opt, mask)
         updates = jax.tree_util.tree_map(lambda u: u * lr, updates)
         new_params = optax.apply_updates(state.params, updates)
         new_ema = update_ema(
@@ -253,13 +273,19 @@ class Trainer:
             )
         else:
             self._state = state0
+            # the local-grads program does not depend on freeze (masking
+            # happens in the reducer), so compile it ONCE and share it — a
+            # second jit closure would re-lower the whole fwd+bwd at the
+            # freeze->unfreeze transition for an identical program
+            gfn = None
             for freeze in (False, True):
                 _, sharded_grads, reduce_fn = make_split_train_step(
                     model, self.criterion, self.tx, train_cfg, self.mesh, freeze)
-                # two SEPARATE compiled programs; composing them in one jit
-                # would re-fuse convs with the all-reduce and re-create the
-                # XLA:CPU deadlock this mode exists to avoid
-                gfn = jax.jit(sharded_grads)
+                # grads and reducer stay SEPARATE compiled programs; composing
+                # them in one jit would re-fuse convs with the all-reduce and
+                # re-create the XLA:CPU deadlock this mode exists to avoid
+                if gfn is None:
+                    gfn = jax.jit(sharded_grads)
                 rfn = jax.jit(reduce_fn, donate_argnums=(0,))
                 self._steps[freeze] = (gfn, rfn)
             self._eval = self._make_split_eval(batch_sh)

@@ -44,4 +44,5 @@ def download_weights(phi: str, model_dir: str = "./model_data") -> str:
         return local
     raise FileNotFoundError(
         f"pretrained backbone not found at {local}; download it from "
-        f"{urls[phi]} on a networked machine and place it there")
+        f"{urls.get(phi, '<no URL: unknown phi ' + repr(phi) + '>')} "
+        "on a networked machine and place it there")

@@ -39,9 +39,6 @@ def synth_value(key: str, shape: Sequence[int], seed: int = 0) -> np.ndarray:
         return np.zeros(shape, dtype=np.int64)
     if key == "bi_fpn.w":
         return rng.uniform(0.5, 1.5, size=shape).astype(np.float32)
-    if key.endswith(".bias") or (".bn" in key and key.endswith("weight")):
-        # plain biases N(0,0.05); BN weight handled below via ndim check
-        pass
     if len(shape) == 1:
         if key.endswith("weight"):  # BN gamma
             return (1.0 + rng.standard_normal(shape) * 0.1).astype(np.float32)

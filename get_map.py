@@ -30,6 +30,12 @@ def parse_args():
     p.add_argument("--map-out-path", default="map_out")
     p.add_argument("--image-set", default="test")
     p.add_argument("--compute-dtype", default="bfloat16")
+    p.add_argument("--max-det", type=int, default=300,
+                   help="per-image NMS survivor cap. The reference CLI is "
+                        "uncapped (`yolo_mul.py:213-257`) — 300 is the "
+                        "fixed-shape stand-in; pass 100 to reproduce the "
+                        "in-training EvalCallback protocol "
+                        "(`callbacks_mul.py:103`, EvalConfig.max_detections)")
     return p.parse_args()
 
 
@@ -59,7 +65,7 @@ def main():
             model_path=args.model_path or None, classes_path=args.classes_path,
             input_shape=tuple(args.input_shape), phi=args.phi,
             confidence=args.confidence, nms_iou=args.nms_iou,
-            compute_dtype=args.compute_dtype, max_det=300)
+            compute_dtype=args.compute_dtype, max_det=args.max_det)
         print("Get predict result.")
         for image_id in image_ids:
             rgb = Image.open(os.path.join(

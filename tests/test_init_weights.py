@@ -43,6 +43,16 @@ class TestReferenceInit:
         gram = k.T @ k
         np.testing.assert_allclose(gram, np.eye(32), atol=1e-4)
 
+    def test_orthogonal_wide_kernel(self):
+        """fan_in < cout (e.g. depthwise (3,3,1,16)) used to crash with a
+        broadcast error in the sign correction; rows must come out
+        orthonormal (torch orthogonal_ on the transposed view)."""
+        params = {"dw": {"kernel": np.zeros((3, 3, 1, 16), np.float32)}}
+        out = reference_weights_init(params, seed=4, init_type="orthogonal",
+                                     init_gain=1.0)
+        k = np.asarray(out["dw"]["kernel"]).reshape(9, 16)
+        np.testing.assert_allclose(k @ k.T, np.eye(9), atol=1e-4)
+
     def test_unknown_raises(self):
         with pytest.raises(NotImplementedError):
             reference_weights_init(make_params(), init_type="nope")

@@ -53,6 +53,36 @@ class TestTrainerModes:
         psp = np.asarray(tr_s.state.params["cv3_0_2"]["kernel"])
         np.testing.assert_allclose(pf, psp, rtol=1e-4, atol=1e-6)
 
+    def test_freeze_phase_accumulates_no_backbone_opt_state(self):
+        """torch skips grad-less params entirely during freeze training, so
+        weight decay must not feed momentum for frozen backbones (a stale
+        trace would kick the weights at unfreeze)."""
+        import jax.tree_util as jtu
+
+        cfg, model, variables, rgb, gt = tiny_setup()
+        tc = TrainConfig(max_boxes=4)  # sgd momentum .937, wd 5e-4
+        trainer = Trainer(model, variables, tc, mesh=make_mesh(1))
+        batch = trainer.put_batch(rgb, rgb, *gt)
+        p0 = jax.tree_util.tree_map(np.asarray,
+                                    trainer.state.params["backbone_rgb"])
+        for _ in range(3):
+            trainer.train_step(batch, 1e-2, freeze_backbone=True)
+        st = trainer.state
+        # frozen params unmoved
+        jtu.tree_map(np.testing.assert_array_equal, p0,
+                     jtu.tree_map(np.asarray, st.params["backbone_rgb"]))
+        # and their optimizer-state slots still zero (= never accumulated)
+        frozen_state = [np.abs(np.asarray(v)).sum()
+                        for p, v in jtu.tree_flatten_with_path(st.opt_state)[0]
+                        if "backbone" in jtu.keystr(p)
+                        and getattr(v, "ndim", 0) >= 1]
+        assert frozen_state and max(frozen_state) == 0.0
+        # a non-frozen param's state did accumulate
+        live_state = [np.abs(np.asarray(v)).sum()
+                      for p, v in jtu.tree_flatten_with_path(st.opt_state)[0]
+                      if "cv3" in jtu.keystr(p) and getattr(v, "ndim", 0) >= 1]
+        assert live_state and max(live_state) > 0.0
+
     def test_bifpn_frozen_reference_mode(self):
         """train_bifpn=False reproduces the reference quirk: bi_fpn.w is in no
         optimizer param group and never moves (`train_mul.py:246-259`)."""
