@@ -90,3 +90,36 @@ def run_fused(model, variables, batch, n_dev, lr=1e-2):
     dbatch = Batch(*[jax.device_put(np.asarray(x), dat) for x in batch])
     new_state, lb = jstep(state, dbatch, jnp.float32(lr))
     return jax.device_get(new_state), float(lb.total)
+
+
+def run_fused_flat(model, variables, batch, n_dev, lr=1e-2):
+    """Same step through make_flat_train_step — the Trainer's DEFAULT fused
+    tail — over an ``n_dev`` mesh.  Returns (host materialized dict with
+    'params'/'batch_stats' trees, loss)."""
+    from dcfa_yolo_tpu.train.flat_opt import build_factors, init_flat_opt
+    from dcfa_yolo_tpu.train.flat_opt import ravel_tree
+    from dcfa_yolo_tpu.train.trainer import FlatTrainState, make_flat_train_step
+
+    mesh = make_mesh(n_dev)
+    # match run_fused's plain-SGD(lr) semantics: no decay/clip/momentum/EMA
+    # ramp differences beyond what TrainConfig carries — use the same config
+    tc = TrainConfig(max_boxes=4, weight_decay=0.0, grad_clip_norm=0.0,
+                     momentum=0.0, nesterov=False)
+    factors = build_factors(variables["params"], variables["batch_stats"])
+    step = make_flat_train_step(model, mse_criterion, tc, factors)
+    rep, dat = replicated(mesh), data_sharding(mesh)
+    batch_sh = Batch(dat, dat, dat, dat, dat)
+    jstep = jax.jit(step, in_shardings=(rep, batch_sh, None),
+                    out_shardings=(rep, rep))
+    flat_p = jax.jit(ravel_tree)(variables["params"])
+    flat_s = jax.jit(ravel_tree)(variables["batch_stats"])
+    fs = FlatTrainState(
+        flat_params=flat_p, flat_stats=flat_s,
+        opt=init_flat_opt(tc, factors.n_params),
+        ema_p=jnp.array(flat_p, copy=True), ema_s=jnp.array(flat_s, copy=True),
+        ema_updates=jnp.asarray(0, jnp.int32))
+    dbatch = Batch(*[jax.device_put(np.asarray(x), dat) for x in batch])
+    new_fs, lb = jstep(fs, dbatch, jnp.float32(lr))
+    out = {"params": factors.unravel_p(new_fs.flat_params),
+           "batch_stats": factors.unravel_s(new_fs.flat_stats)}
+    return jax.device_get(out), float(lb.total)

@@ -30,6 +30,7 @@ from dcfa_yolo_tpu.parallel.fused_check import (
     make_state,
     mse_criterion,
     run_fused,
+    run_fused_flat,
     setup,
 )
 from dcfa_yolo_tpu.parallel.mesh import data_sharding, make_mesh
@@ -76,6 +77,22 @@ class TestFusedMultiDevice:
         jax.tree_util.tree_map(
             lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-7),
             s1.batch_stats, s2.batch_stats)
+
+    def test_flat_tail_fused_matches_tree_on_2dev_mesh(self):
+        """The FLAT-tail fused step (the Trainer's default) executes on a
+        real 2-device mesh with the same SyncBN global moments and the same
+        updated params as the tree-form fused step."""
+        assert len(jax.devices()) >= 2
+        model, variables, batch = setup()
+        st, tt = run_fused(model, variables, batch, n_dev=2)
+        sf, tf = run_fused_flat(model, variables, batch, n_dev=2)
+        np.testing.assert_allclose(tt, tf, rtol=1e-6)
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-7),
+            st.params, sf["params"])
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-7),
+            st.batch_stats, sf["batch_stats"])
 
     def test_split_equals_fused_on_identical_per_device_batches(self):
         """When both devices see identical data, local-BN (split) and SyncBN
