@@ -45,8 +45,16 @@ class TorchExactBatchNorm(nn.Module):
                                lambda s: jnp.ones(s, jnp.float32), (features,))
 
         if use_running_average:
-            mean = ra_mean.value
-            var = ra_var.value
+            # Eval-mode fast path: fold the whole affine into per-channel
+            # inv/shift computed in f32 (tiny vectors), applied as ONE
+            # multiply-add in the compute dtype.  Algebraically identical to
+            # (x-mean)*rsqrt(var+eps)*scale+bias; avoids materializing any
+            # full-resolution f32 intermediates on bf16 activations, so XLA
+            # fuses the BN into the producing conv's epilogue.
+            inv = jax.lax.rsqrt(ra_var.value + self.eps) * scale
+            shift = bias - ra_mean.value * inv
+            return (x * inv.astype(self.dtype)
+                    + shift.astype(self.dtype)).astype(self.dtype)
         else:
             axes = tuple(range(x.ndim - 1))
             xf = x.astype(jnp.float32)
@@ -64,6 +72,10 @@ class TorchExactBatchNorm(nn.Module):
                 ra_mean.value = (1.0 - m) * ra_mean.value + m * mean
                 ra_var.value = (1.0 - m) * ra_var.value + m * var * bessel
 
+        # train-mode normalize stays in f32: measured on the v5e this costs
+        # nothing (XLA fuses the convert/normalize chain into one pass —
+        # fwd_train identical to the folded form) and keeps batch-stat
+        # gradients at full precision
         y = (x.astype(jnp.float32) - mean) * jax.lax.rsqrt(var + self.eps)
         y = y * scale + bias
         return y.astype(self.dtype)
