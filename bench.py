@@ -113,6 +113,16 @@ def main() -> None:
             f"IMPOSSIBLE measurement: implied MFU {mfu:.2f} > 1.0 "
             f"({tflops:.1f} TFLOP/s vs {peak_flops/1e12:.0f} peak) — "
             f"timing artifact, refusing to report")
+    # this model is bandwidth-bound at ~3-5% MFU, so the MFU gate alone would
+    # let a ~20x timing artifact through; also gate on the bandwidth roofline.
+    # bytes-accessed is an upper bound that VMEM reuse can push somewhat past
+    # 1.0, hence the 2.0 threshold rather than 1.0.
+    if hbm_util == hbm_util and hbm_util > 2.0:
+        raise SystemExit(
+            f"IMPOSSIBLE measurement: implied HBM utilization "
+            f"{hbm_util:.2f} > 2.0 ({bytes_per_pair * pairs_per_sec / 1e9:.0f} "
+            f"GB/s vs {peak_bw/1e9:.0f} GB/s peak) — timing artifact, "
+            f"refusing to report")
 
     print(json.dumps({
         "metric": "pairs_per_sec_per_chip_640_batch_inference",

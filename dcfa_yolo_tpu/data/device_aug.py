@@ -53,6 +53,8 @@ class StagedDataset(NamedTuple):
     boxes: np.ndarray     # (N, T, 5) float32, xyxy normalized to [0,1] + cls
     nbox: np.ndarray      # (N,) int32 valid box count
     orig_wh: np.ndarray   # (N, 2) float32 original (iw, ih)
+    overflow_items: int = 0    # items whose gt count exceeded max_boxes
+    overflow_dropped: int = 0  # boxes dropped by the largest-area cap
 
 
 class GeomParams(NamedTuple):
@@ -97,6 +99,8 @@ def stage_pairs(lines: Sequence[str], stage_hw: Tuple[int, int],
     images = np.empty((n, 2, sh, sw, 3), np.uint8)
     boxes = np.zeros((n, max_boxes, 5), np.float32)
     nbox = np.zeros((n,), np.int32)
+    overflow_items = 0
+    overflow_dropped = 0
     orig_wh = np.zeros((n, 2), np.float32)
     for i, line in enumerate(lines):
         parts = line.split()
@@ -115,13 +119,16 @@ def stage_pairs(lines: Sequence[str], stage_hw: Tuple[int, int],
                      np.float32).reshape(-1, 5)
         if len(b) > max_boxes:
             area = (b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1])
+            overflow_items += 1
+            overflow_dropped += len(b) - max_boxes
             b = b[np.argsort(-area)[:max_boxes]]
         if len(b):
             b[:, [0, 2]] /= iw
             b[:, [1, 3]] /= ih
             boxes[i, : len(b)] = b
         nbox[i] = len(b)
-    return StagedDataset(images, boxes, nbox, orig_wh)
+    return StagedDataset(images, boxes, nbox, orig_wh,
+                         overflow_items, overflow_dropped)
 
 
 # ---------------------------------------------------------------------------
@@ -606,8 +613,10 @@ class DeviceAugLoader:
             out_shardings=(self._dat,) * 5)
         self._epoch = 0
         # BatchLoader-compatible accounting (overflow happens at staging here)
-        self.overflow_items = int((ds.nbox >= max_boxes).sum())
-        self.overflow_dropped = 0
+        # true counts from staging ((nbox >= max_boxes) would also flag
+        # items that had EXACTLY max_boxes ground truths)
+        self.overflow_items = ds.overflow_items
+        self.overflow_dropped = ds.overflow_dropped
 
     def __len__(self) -> int:
         n = len(self.host_ds.images)

@@ -128,6 +128,12 @@ class BatchLoader:
         n = len(self.dataset)
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
+    def set_epoch(self, epoch: int) -> None:
+        """Pin the per-epoch shuffle/augmentation RNG stream so a loader
+        rebuilt mid-run (freeze->unfreeze batch-size switch) continues the
+        stream instead of replaying epoch 0's (mirrors DeviceAugLoader)."""
+        self._epoch = epoch
+
     # ------------------------------------------------------------------
     def _collate(self, items) -> HostBatch:
         h, w = self.dataset.input_shape
@@ -194,7 +200,13 @@ class BatchLoader:
         batches: List[np.ndarray] = []
         stop = n - n % self.batch_size if self.drop_last else n
         for i in range(0, stop, self.batch_size):
-            batches.append(order[i:i + self.batch_size])
+            idxs = order[i:i + self.batch_size]
+            if len(idxs) < self.batch_size:
+                # pad the ragged tail by repetition: a fixed batch shape
+                # avoids a fresh jit compile for the odd size (matches
+                # DeviceAugLoader)
+                idxs = np.resize(idxs, self.batch_size)
+            batches.append(idxs)
 
         # thread pool (the reference uses 4 DataLoader worker processes,
         # `train_mul.py:281-296`; PIL/cv2/numpy release the GIL in their hot

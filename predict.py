@@ -40,6 +40,9 @@ def parse_args():
 
 def main():
     args = parse_args()
+    if args.mode in ("predict", "fps", "heatmap") and not (args.rgb and args.nir):
+        raise SystemExit(
+            f"--mode {args.mode} needs --rgb and --nir image paths")
     from PIL import Image
     from dcfa_yolo_tpu.utils.jaxcache import enable_persistent_cache
 

@@ -246,7 +246,11 @@ def main():
                 # keep the ragged tail (padded): a val set smaller than the
                 # batch must still produce one eval batch
                 drop_last=False,
-                seed=args.seed, max_hbm_gb=args.device_aug_hbm_gb,
+                seed=args.seed,
+                # the budget is for BOTH staged datasets: charge what the
+                # train set already resident consumed
+                max_hbm_gb=(args.device_aug_hbm_gb
+                            - tl.host_ds.images.nbytes / 1e9),
                 staged=_staged_cache.get("val"),
                 dev_data=_staged_cache.get("val_dev"))
             if "train" not in _staged_cache:
@@ -264,7 +268,11 @@ def main():
             return (
                 BatchLoader(train_ds, bs, tc.max_boxes, shuffle=True,
                             num_workers=args.num_workers, seed=args.seed),
+                # drop_last=False: a val set smaller than the batch must
+                # still produce one (padded-tail) eval batch, else val_loss
+                # silently reads 0.0 and best-checkpointing is meaningless
                 BatchLoader(val_ds, bs, tc.max_boxes, shuffle=False,
+                            drop_last=False,
                             num_workers=args.num_workers, seed=args.seed),
             )
 
@@ -327,8 +335,7 @@ def main():
         # true epoch (mosaic epoch-gate + per-epoch RNG stream), not a stale
         # or reset one
         train_ds.set_epoch(epoch)
-        if args.device_aug:
-            train_loader.set_epoch(epoch)
+        train_loader.set_epoch(epoch)  # pins the per-epoch RNG stream
         lr = lr_fn(epoch)
         freeze = tc.freeze_train and epoch < tc.freeze_epoch
 
@@ -387,7 +394,11 @@ def main():
             print(f"[loader] {train_loader.overflow_items} items exceeded "
                   f"max_boxes={tc.max_boxes}; {train_loader.overflow_dropped} "
                   f"smallest-area boxes dropped", flush=True)
-        train_loss = float(np.mean([float(x) for x in step_losses])) if n_steps else 0.0
+        # reduce the epoch's device scalars in ONE dispatch + ONE fetch: a
+        # float(x) per step would cost a ~30 ms RTT each on remote platforms
+        import jax.numpy as _jnp
+
+        train_loss = float(_jnp.mean(_jnp.stack(step_losses))) if n_steps else 0.0
 
         val_losses = []
         for it, hb in enumerate(val_loader):
@@ -396,16 +407,17 @@ def main():
             lb = trainer.eval_step(
                 hb if args.device_aug else trainer.put_batch(*hb))
             val_losses.append(lb.total)
-        val_loss = float(np.mean([float(x) for x in val_losses])) if val_losses else 0.0
+        val_loss = float(_jnp.mean(_jnp.stack(val_losses))) if val_losses else 0.0
 
         print(f"Epoch {epoch + 1}/{tc.unfreeze_epoch}  "
               f"Total Loss: {train_loss:.3f} || Val Loss: {val_loss:.3f}")
         loss_history.append_loss(epoch + 1, train_loss, val_loss)
-        eval_cb.on_epoch_end(epoch + 1, trainer.ema_variables())
 
-        # fetch the state to host ONCE per epoch (per-leaf device reads are
-        # expensive on remote platforms; best/last/periodic reuse this copy)
+        # materialize the train state ONCE per epoch (per-leaf device reads —
+        # and, with the flat tail, the unravel program — are expensive on
+        # remote platforms; eval + best/last/periodic all reuse this copy)
         st = trainer.state
+        eval_cb.on_epoch_end(epoch + 1, st.ema.variables)
         host_state = jax.device_get(
             {"params": st.params, "batch_stats": st.batch_stats,
              "ema": st.ema.variables, "opt_state": st.opt_state})
