@@ -3,7 +3,7 @@
 Protocol (matches the reference FPS protocol, `yolo_mul.py:132-166`: repeated
 full forward+decode+NMS, steady state after warm-up) but batched and fully on
 device: letterbox preprocess, dual-backbone forward, DFL decode, class-aware
-NMS, letterbox unmap — one jit, batch 32 (BENCH_BATCH), bfloat16,
+NMS, letterbox unmap — one jit, batch 128 (BENCH_BATCH), bfloat16,
 RepGhost-fused deploy graph.
 
 Timing is **chained-dependency** (utils/profiling.timeit_chained): each
@@ -67,8 +67,10 @@ def main() -> None:
     from dcfa_yolo_tpu.models.yolo import DCFAYolo, init_model
     from dcfa_yolo_tpu.utils.profiling import timeit_chained
 
-    batch = int(os.environ.get("BENCH_BATCH", "32"))  # serving batch: per-pair
-    # cost falls to 1.14 ms at b32 vs 1.94 at b8 (tools/bench_sweep.py)
+    # serving batch: per-pair cost keeps falling with batch as per-program
+    # and layout-padding overheads amortize — measured 2.05 ms b8, 1.11 b32,
+    # 0.76 b64, 0.50 b128 (sweet spot; b256 regresses to 0.57)
+    batch = int(os.environ.get("BENCH_BATCH", "128"))
     iters = int(os.environ.get("BENCH_ITERS", "30"))
     size = int(os.environ.get("BENCH_SIZE", "640"))
     nms_backend = os.environ.get("BENCH_NMS", "pallas")
