@@ -649,6 +649,9 @@ class DeviceAugLoader:
         return Batch(rgb, nir, gtb, gtl, gtm)
 
     def __iter__(self) -> Iterator:
+        # keep the sampler's epoch gate (mosaic special_aug_ratio) in lockstep
+        # with the RNG stream even when the caller never calls set_epoch()
+        self.sampler.set_epoch(self._epoch)
         n = len(self.host_ds.images)
         order = np.arange(n)
         rng = np.random.Generator(np.random.PCG64(self.seed + self._epoch))

@@ -35,6 +35,10 @@ class HostBatch(NamedTuple):
     gt_boxes: np.ndarray   # (B, M, 4) xyxy pixels
     gt_labels: np.ndarray  # (B, M)
     gt_mask: np.ndarray    # (B, M)
+    # (B,) 1.0 = real sample, 0.0 = repeated tail-pad duplicate (drop_last=False
+    # pads ragged tails by repetition for static shapes); per-item metric
+    # consumers must exclude zeros or they double-count the repeats
+    sample_mask: np.ndarray = None
 
 
 class PairedDetectionDataset:
@@ -167,12 +171,17 @@ class BatchLoader:
                 gt_boxes[j, :n] = boxes[:, :4]
                 gt_labels[j, :n] = boxes[:, 4]
                 gt_mask[j, :n] = (np.abs(boxes[:, :4]).sum(-1) > 0)
-        return HostBatch(rgb, nir, gt_boxes, gt_labels, gt_mask)
+        sample_mask = np.ones((b,), np.float32)
+        return HostBatch(rgb, nir, gt_boxes, gt_labels, gt_mask, sample_mask)
 
-    def _make_batch(self, idxs: np.ndarray) -> HostBatch:
+    def _make_batch(self, idxs: np.ndarray, n_real: int = None) -> HostBatch:
         t0 = time.perf_counter()
         items = [self.dataset[int(i)] for i in idxs]
         out = self._collate(items)
+        if n_real is not None and n_real < len(idxs):
+            sm = out.sample_mask.copy()
+            sm[n_real:] = 0.0
+            out = out._replace(sample_mask=sm)
         with self._stats_lock:
             self._busy_s += time.perf_counter() - t0
             self._produced += 1
@@ -197,16 +206,17 @@ class BatchLoader:
         self._busy_s = 0.0
         self._produced = 0
 
-        batches: List[np.ndarray] = []
+        batches: List[Tuple[np.ndarray, int]] = []
         stop = n - n % self.batch_size if self.drop_last else n
         for i in range(0, stop, self.batch_size):
             idxs = order[i:i + self.batch_size]
-            if len(idxs) < self.batch_size:
+            n_real = len(idxs)
+            if n_real < self.batch_size:
                 # pad the ragged tail by repetition: a fixed batch shape
                 # avoids a fresh jit compile for the odd size (matches
-                # DeviceAugLoader)
+                # DeviceAugLoader); sample_mask marks the repeats
                 idxs = np.resize(idxs, self.batch_size)
-            batches.append(idxs)
+            batches.append((idxs, n_real))
 
         # thread pool (the reference uses 4 DataLoader worker processes,
         # `train_mul.py:281-296`; PIL/cv2/numpy release the GIL in their hot
@@ -216,12 +226,12 @@ class BatchLoader:
             inflight = deque()
             max_inflight = self.num_workers + self.prefetch
             it = iter(batches)
-            for idxs in batches[:max_inflight]:
+            for idxs, n_real in batches[:max_inflight]:
                 next(it)
-                inflight.append(pool.submit(self._make_batch, idxs))
+                inflight.append(pool.submit(self._make_batch, idxs, n_real))
             while inflight:
                 fut = inflight.popleft()
                 nxt = next(it, None)
                 if nxt is not None:
-                    inflight.append(pool.submit(self._make_batch, nxt))
+                    inflight.append(pool.submit(self._make_batch, *nxt))
                 yield fut.result()

@@ -130,7 +130,8 @@ def flat_update(cfg: TrainConfig, factors: FlatFactors, g: jnp.ndarray,
             new_trace = new_trace * live
         new_opt = FlatSGD(trace=new_trace)
     else:
-        b1, b2, eps = cfg.momentum, 0.999, 1e-8
+        from dcfa_yolo_tpu.train.optim import ADAM_B2, ADAM_EPS
+        b1, b2, eps = cfg.momentum, ADAM_B2, ADAM_EPS
         count = opt.count + 1
         mu = (1.0 - b1) * g + b1 * opt.mu
         nu = (1.0 - b2) * (g * g) + b2 * opt.nu

@@ -22,6 +22,11 @@ import optax
 
 from dcfa_yolo_tpu.config import TrainConfig
 
+# Shared Adam constants: the flat-vector tail (`train/flat_opt.py`) must use
+# the exact values of this tree path or the two silently diverge.
+ADAM_B2 = 0.999
+ADAM_EPS = 1e-8
+
 
 def _path_has(path, *names: str) -> bool:
     keys = [getattr(p, "key", str(p)) for p in path]
@@ -68,7 +73,8 @@ def build_optimizer(cfg: TrainConfig, params,
     if cfg.optimizer_type == "sgd":
         chain.append(optax.trace(decay=cfg.momentum, nesterov=cfg.nesterov))
     elif cfg.optimizer_type == "adam":
-        chain.append(optax.scale_by_adam(b1=cfg.momentum, b2=0.999))
+        chain.append(optax.scale_by_adam(b1=cfg.momentum, b2=ADAM_B2,
+                                         eps=ADAM_EPS))
     else:
         raise ValueError(cfg.optimizer_type)
 

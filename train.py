@@ -358,7 +358,8 @@ def main():
                 if hb is None:
                     break
                 # device-aug batches are already device-resident and sharded
-                batch = hb if args.device_aug else trainer.put_batch(*hb)
+                batch = hb if args.device_aug else trainer.put_batch(
+                    hb.rgb, hb.nir, hb.gt_boxes, hb.gt_labels, hb.gt_mask)
                 timer.start()
                 lb = trainer.train_step(batch, lr, freeze_backbone=freeze)
                 timer.stop()
@@ -405,7 +406,8 @@ def main():
             if it >= epoch_step_val:
                 break
             lb = trainer.eval_step(
-                hb if args.device_aug else trainer.put_batch(*hb))
+                hb if args.device_aug else trainer.put_batch(
+                    hb.rgb, hb.nir, hb.gt_boxes, hb.gt_labels, hb.gt_mask))
             val_losses.append(lb.total)
         val_loss = float(_jnp.mean(_jnp.stack(val_losses))) if val_losses else 0.0
 
