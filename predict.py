@@ -20,8 +20,10 @@ def parse_args():
     p.add_argument("--phi", default="n")
     p.add_argument("--confidence", type=float, default=0.5)
     p.add_argument("--nms-iou", type=float, default=0.3)
-    p.add_argument("--rgb", help="RGB image path (predict/fps/heatmap)")
-    p.add_argument("--nir", help="NIR image path (predict/fps/heatmap)")
+    p.add_argument("--rgb", default="img/sample_rgb.png",
+                   help="RGB image path (predict/fps/heatmap)")
+    p.add_argument("--nir", default="img/sample_nir.png",
+                   help="NIR image path (predict/fps/heatmap)")
     p.add_argument("--test-interval", type=int, default=100)
     p.add_argument("--dir-origin-path", default="img/")
     p.add_argument("--dir-save-path", default="img_out/")
@@ -65,11 +67,11 @@ def main():
     if args.mode == "predict":
         rgb, nir = load_pair(args.rgb, args.nir)
         out = predictor.detect_image(rgb, nir)
-        if args.output:
-            out.save(args.output)
-            print(f"saved {args.output}")
-        else:
-            out.show()
+        dest = args.output or "img_out/sample_prediction.png"
+        if not args.output:
+            os.makedirs("img_out", exist_ok=True)
+        out.save(dest)
+        print(f"saved {dest}")
     elif args.mode == "fps":
         rgb, nir = load_pair(args.rgb, args.nir)
         tact = predictor.get_fps(rgb, nir, args.test_interval)
