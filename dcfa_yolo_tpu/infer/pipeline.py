@@ -73,7 +73,7 @@ def detect_batch(
     boxes_out = correct_boxes_yxyx(res.boxes, in_hw, image_hw, letterbox=letterbox)
     boxes_out = jnp.where(res.valid[..., None], boxes_out, 0.0)
     return NMSResult(boxes=boxes_out, scores=res.scores, classes=res.classes,
-                     valid=res.valid)
+                     valid=res.valid, n_candidates=res.n_candidates)
 
 
 @functools.partial(

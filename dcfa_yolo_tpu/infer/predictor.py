@@ -57,6 +57,7 @@ class YOLOPredictor:
         nms_iou: float = 0.3,
         letterbox_image: bool = True,
         max_det: int = 300,
+        pre_nms_topk: int = 1024,
         compute_dtype: str = "float32",
         variables=None,
         deploy: bool = False,
@@ -72,6 +73,12 @@ class YOLOPredictor:
         self.nms_iou = nms_iou
         self.letterbox_image = letterbox_image
         self.max_det = max_det
+        self.pre_nms_topk = pre_nms_topk
+        # Cap-binding counters (the reference NMS is uncapped,
+        # `utils/utils_bbox.py:106-149`; these make the fixed-shape caps'
+        # protocol deviation observable — get_map.py fails loud on them)
+        self.cap_stats = dict(images=0, topk_bound=0, max_det_saturated=0,
+                              max_candidates=0)
         # 'xla' (fori-loop) or 'pallas' (VMEM-resident TPU kernel); identical
         # keep semantics, verified on-chip (tools/perf_breakdown.py)
         self.nms_backend = nms_backend
@@ -113,8 +120,23 @@ class YOLOPredictor:
             jnp.asarray(rgb_arr[None]), jnp.asarray(nir_arr[None]), image_hw,
             conf_thres=self.confidence if confidence is None else confidence,
             iou_thres=self.nms_iou, letterbox=self.letterbox_image,
-            max_det=self.max_det, nms_backend=self.nms_backend)
-        return jax.tree_util.tree_map(np.asarray, res)
+            max_det=self.max_det, pre_nms_topk=self.pre_nms_topk,
+            nms_backend=self.nms_backend)
+        res = jax.tree_util.tree_map(np.asarray, res)
+        self._note_caps(res)
+        return res
+
+    def _note_caps(self, res) -> None:
+        """Accumulate fixed-cap binding counters from one host-side result."""
+        nc = res.n_candidates
+        if nc is None:
+            return
+        self.cap_stats["images"] += int(len(nc))
+        self.cap_stats["topk_bound"] += int((nc > self.pre_nms_topk).sum())
+        self.cap_stats["max_det_saturated"] += int(
+            (res.valid.sum(-1) >= self.max_det).sum())
+        self.cap_stats["max_candidates"] = max(
+            self.cap_stats["max_candidates"], int(nc.max()))
 
     def detect(self, image_rgb, image_nir, confidence: Optional[float] = None):
         """Detection as arrays: (boxes_yxyx_px, scores, class_ids) for one pair."""
@@ -140,8 +162,10 @@ class YOLOPredictor:
             image_hw,
             conf_thres=self.confidence if confidence is None else confidence,
             iou_thres=self.nms_iou, letterbox=self.letterbox_image,
-            max_det=self.max_det, nms_backend=self.nms_backend)
+            max_det=self.max_det, pre_nms_topk=self.pre_nms_topk,
+            nms_backend=self.nms_backend)
         res = jax.tree_util.tree_map(np.asarray, res)
+        self._note_caps(res)
         out = []
         for b in range(len(rgb)):
             n = int(res.valid[b].sum())
@@ -180,6 +204,8 @@ class YOLOPredictor:
             label_size = (tr - tl, tb - tt)
             origin = (left, top - label_size[1]) if top - label_size[1] >= 0 else (left, top + 1)
             for i in range(thickness):
+                if left + i > right - i or top + i > bottom - i:
+                    break  # box smaller than the outline inset (tiny dets)
                 draw.rectangle([left + i, top + i, right - i, bottom - i],
                                outline=self.colors[int(c)])
             draw.rectangle([origin, (origin[0] + label_size[0], origin[1] + label_size[1])],

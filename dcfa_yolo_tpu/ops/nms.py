@@ -23,6 +23,11 @@ class NMSResult(NamedTuple):
     scores: jnp.ndarray   # (B, max_det); 0 for empty slots
     classes: jnp.ndarray  # (B, max_det) int32; -1 for empty slots
     valid: jnp.ndarray    # (B, max_det) bool
+    # (B,) int32: candidates at/above conf_thres BEFORE the pre_nms_topk cut.
+    # The reference NMS is uncapped (`utils/utils_bbox.py:106-149`); when
+    # n_candidates > pre_nms_topk the fixed-shape cap binds and results can
+    # deviate from reference semantics — callers (get_map.py) count and warn.
+    n_candidates: jnp.ndarray = None
 
 
 def _greedy_suppress(iou: jnp.ndarray, alive0: jnp.ndarray, iou_thres: float) -> jnp.ndarray:
@@ -91,9 +96,16 @@ def nms_single(
     pre_nms_topk: int = 1024,
     max_det: int = 300,
     class_aware: bool = True,
-    coord_scale: float = 4.0,
+    coord_scale=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """NMS for one image.  boxes (A,4) xyxy, scores (A,), classes (A,) int."""
+    """NMS for one image.  boxes (A,4) xyxy, scores (A,), classes (A,) int.
+
+    coord_scale: per-class box offset for the batched-NMS trick; None (the
+    default) derives it from the data (2·max|coord|+1) so boxes in ANY units
+    — normalized or pixels — never overlap across classes.
+    """
+    if coord_scale is None:
+        coord_scale = 2.0 * jnp.max(jnp.abs(boxes)) + 1.0
     k = min(pre_nms_topk, boxes.shape[0])
     top_boxes, top_scores, top_classes, alive, off_boxes = _select_candidates(
         boxes, scores, classes, conf_thres, k, class_aware, coord_scale)
@@ -120,19 +132,23 @@ def batched_nms(
     (`ops/pallas_nms.py`) — one kernel dispatch per batch instead of K
     sequential XLA loop steps; identical keep semantics (tests/test_pallas_nms).
     """
+    n_cand = jnp.sum(scores >= conf_thres, axis=-1).astype(jnp.int32)
+    # one shared data-derived class offset for the whole batch (see nms_single)
+    coord_scale = 2.0 * jnp.max(jnp.abs(boxes)) + 1.0
     if backend == "pallas":
         from dcfa_yolo_tpu.ops.pallas_nms import pallas_greedy_suppress
 
         k = min(pre_nms_topk, boxes.shape[1])
         sel = jax.vmap(lambda b, s, c: _select_candidates(
-            b, s, c, conf_thres, k, class_aware, 4.0))
+            b, s, c, conf_thres, k, class_aware, coord_scale))
         top_boxes, top_scores, top_classes, alive, off_boxes = sel(
             boxes, scores, classes)
         keep = pallas_greedy_suppress(off_boxes, alive, iou_thres) & alive
         out = jax.vmap(lambda kp, b, s, c: _finalize(kp, b, s, c, max_det))(
             keep, top_boxes, top_scores, top_classes)
-        return NMSResult(*out)
+        return NMSResult(*out, n_candidates=n_cand)
     fn = lambda b, s, c: nms_single(
-        b, s, c, conf_thres, iou_thres, pre_nms_topk, max_det, class_aware)
+        b, s, c, conf_thres, iou_thres, pre_nms_topk, max_det, class_aware,
+        coord_scale)
     out = jax.vmap(fn)(boxes, scores, classes)
-    return NMSResult(*out)
+    return NMSResult(*out, n_candidates=n_cand)

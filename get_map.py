@@ -36,6 +36,11 @@ def parse_args():
                         "fixed-shape stand-in; pass 100 to reproduce the "
                         "in-training EvalCallback protocol "
                         "(`callbacks_mul.py:103`, EvalConfig.max_detections)")
+    p.add_argument("--pre-nms-topk", type=int, default=1024,
+                   help="pre-NMS candidate cap (fixed-shape stand-in for the "
+                        "reference's uncapped NMS); auto-raised when it binds")
+    p.add_argument("--no-auto-raise", action="store_true",
+                   help="fail instead of auto-raising bound NMS caps")
     return p.parse_args()
 
 
@@ -61,19 +66,47 @@ def main():
         from dcfa_yolo_tpu.infer.predictor import YOLOPredictor
 
         print("Load model.")
-        predictor = YOLOPredictor(
-            model_path=args.model_path or None, classes_path=args.classes_path,
-            input_shape=tuple(args.input_shape), phi=args.phi,
-            confidence=args.confidence, nms_iou=args.nms_iou,
-            compute_dtype=args.compute_dtype, max_det=args.max_det)
-        print("Get predict result.")
-        for image_id in image_ids:
-            rgb = Image.open(os.path.join(
-                args.vocdevkit_path, "VOC2007/JPEGImages_rgb", image_id + ".png"))
-            nir = Image.open(os.path.join(
-                args.vocdevkit_path, "VOC2007/JPEGImages_nir", image_id + ".png"))
-            predictor.get_map_txt(image_id, rgb, nir, class_names,
-                                  args.map_out_path)
+        # The reference NMS is uncapped (`utils/utils_bbox.py:106-149`); our
+        # fixed-shape caps (pre_nms_topk / max_det) are a protocol deviation
+        # whenever they bind.  Count every image where they do and AUTO-RAISE
+        # the caps (redoing the pass) until they no longer bind, so the
+        # emitted detections match uncapped reference semantics.
+        pre_nms_topk, max_det = args.pre_nms_topk, args.max_det
+        for attempt in range(3):
+            predictor = YOLOPredictor(
+                model_path=args.model_path or None,
+                classes_path=args.classes_path,
+                input_shape=tuple(args.input_shape), phi=args.phi,
+                confidence=args.confidence, nms_iou=args.nms_iou,
+                compute_dtype=args.compute_dtype, max_det=max_det,
+                pre_nms_topk=pre_nms_topk)
+            print(f"Get predict result (pre_nms_topk={pre_nms_topk}, "
+                  f"max_det={max_det}).")
+            for image_id in image_ids:
+                rgb = Image.open(os.path.join(
+                    args.vocdevkit_path, "VOC2007/JPEGImages_rgb", image_id + ".png"))
+                nir = Image.open(os.path.join(
+                    args.vocdevkit_path, "VOC2007/JPEGImages_nir", image_id + ".png"))
+                predictor.get_map_txt(image_id, rgb, nir, class_names,
+                                      args.map_out_path)
+            cs = predictor.cap_stats
+            print(f"[caps] {cs['images']} images, max conf-candidates "
+                  f"{cs['max_candidates']}, pre_nms_topk bound on "
+                  f"{cs['topk_bound']}, max_det saturated on "
+                  f"{cs['max_det_saturated']}")
+            if not (cs["topk_bound"] or cs["max_det_saturated"]):
+                break
+            if args.no_auto_raise:
+                raise SystemExit(
+                    "[caps] fixed NMS caps bound — results deviate from the "
+                    "uncapped reference protocol (rerun with larger "
+                    "--pre-nms-topk/--max-det, or drop --no-auto-raise)")
+            if cs["topk_bound"]:
+                while pre_nms_topk <= cs["max_candidates"]:
+                    pre_nms_topk *= 2
+            if cs["max_det_saturated"]:
+                max_det *= 4
+            print(f"[caps] auto-raising and redoing the prediction pass")
         print("Get predict result done.")
 
     if args.map_mode in (0, 2):
