@@ -29,6 +29,13 @@ class ModelConfig:
     # Compute dtype for the forward pass ("float32" or "bfloat16").  Params and BN
     # statistics always stay float32; bfloat16 activations feed the MXU at 2x rate.
     compute_dtype: str = "float32"
+    # Rematerialize the two backbones in the backward pass (jax.checkpoint via
+    # nn.remat): only the three pyramid taps per backbone are stored, the
+    # full-resolution stem/dark activations are recomputed.  Trades ~15% extra
+    # FLOPs (bandwidth-bound model) for the activation memory that dominates at
+    # large batch — b128 640² with the HBM-staged dataset (data/device_aug.py)
+    # only fits with this on.  Numerically identical (tests/test_remat.py).
+    remat: bool = False
 
     @property
     def depth_mul(self) -> float:

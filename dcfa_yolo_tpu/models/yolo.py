@@ -59,10 +59,16 @@ class DCFAYolo(nn.Module):
         rgb = rgb.astype(dtype)
         nir = nir.astype(dtype)
 
-        feat1_rgb, feat2_rgb, feat3_rgb = Backbone(bc, deep, name="backbone_rgb", **kw)(
-            rgb, train=train)
-        feat1_nir, feat2_nir, feat3_nir = Backbone(bc, deep, name="backbone_nir", **kw)(
-            nir, train=train)
+        # Optionally rematerialize the backbones (the full-resolution stem/dark
+        # activations dominate train-time memory; the pyramid taps are tiny).
+        # static_argnums=(2,): arg 0 is the module instance under nn.remat,
+        # arg 2 is the python-bool train flag.
+        Bk = (nn.remat(Backbone, static_argnums=(2,)) if cfg.remat and train
+              else Backbone)
+        feat1_rgb, feat2_rgb, feat3_rgb = Bk(bc, deep, name="backbone_rgb", **kw)(
+            rgb, train)
+        feat1_nir, feat2_nir, feat3_nir = Bk(bc, deep, name="backbone_nir", **kw)(
+            nir, train)
 
         # Per-level, per-modality CBAM before fusion (`nets/yolo_mul.py:346-353`).
         feat1_rgb = CBAM(dtype=dtype, name="cbam_rgb_feat1")(feat1_rgb)

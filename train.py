@@ -98,6 +98,10 @@ def parse_args():
     p.add_argument("--seed", type=int, default=11)
     p.add_argument("--compute-dtype", default="bfloat16",
                    choices=["float32", "bfloat16"])
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialize the backbones in backward (jax.checkpoint):"
+                        " ~15%% extra FLOPs for the activation memory that lets "
+                        "b128 640^2 fit HBM beside the --device-aug staged dataset")
     p.add_argument("--profile-dir", default="",
                    help="capture a jax.profiler trace of the first epoch here")
     p.add_argument("--distributed", action="store_true",
@@ -135,7 +139,7 @@ def main():
     class_names, num_classes = get_classes(args.classes_path)
     cfg = ModelConfig(num_classes=num_classes, phi=args.phi,
                       input_shape=tuple(args.input_shape),
-                      compute_dtype=args.compute_dtype)
+                      compute_dtype=args.compute_dtype, remat=args.remat)
     tc = TrainConfig(
         seed=args.seed, init_epoch=args.init_epoch, freeze_epoch=args.freeze_epoch,
         unfreeze_epoch=args.unfreeze_epoch, freeze_train=args.freeze_train,
