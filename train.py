@@ -53,6 +53,11 @@ def parse_args():
     p.add_argument("--freeze-train", action="store_true")
     p.add_argument("--batch-size", type=int, default=16,
                    help="unfreeze-phase batch size (reference Unfreeze_batch_size)")
+    p.add_argument("--val-batch-size", type=int, default=0,
+                   help="validation batch (0 = same as --batch-size); the eval "
+                        "graph holds full-resolution activations with no remat, "
+                        "so very large train batches (b128 640^2 beside a "
+                        "--device-aug staged dataset) need a smaller val batch")
     p.add_argument("--freeze-batch-size", type=int, default=0,
                    help="batch size during the frozen-backbone phase "
                         "(reference Freeze_batch_size; 0 = same as --batch-size)")
@@ -205,7 +210,7 @@ def main():
             else args.batch_size
 
     epoch_step = num_train // args.batch_size
-    epoch_step_val = max(num_val // args.batch_size, 1)
+    epoch_step_val = max(num_val // (args.val_batch_size or args.batch_size), 1)
     if epoch_step == 0:
         raise ValueError("dataset too small for this batch size")
 
@@ -245,7 +250,8 @@ def main():
                 staged=_staged_cache.get("train"),
                 dev_data=_staged_cache.get("train_dev"))
             vl = DeviceAugLoader(
-                val_lines, cfg.input_shape, bs, mesh, train=False,
+                val_lines, cfg.input_shape, args.val_batch_size or bs, mesh,
+                train=False,
                 max_boxes=tc.max_boxes, stage_hw=stage_hw, shuffle=False,
                 # keep the ragged tail (padded): a val set smaller than the
                 # batch must still produce one eval batch
@@ -275,15 +281,15 @@ def main():
                 # drop_last=False: a val set smaller than the batch must
                 # still produce one (padded-tail) eval batch, else val_loss
                 # silently reads 0.0 and best-checkpointing is meaningless
-                BatchLoader(val_ds, bs, tc.max_boxes, shuffle=False,
-                            drop_last=False,
+                BatchLoader(val_ds, args.val_batch_size or bs, tc.max_boxes,
+                            shuffle=False, drop_last=False,
                             num_workers=args.num_workers, seed=args.seed),
             )
 
     current_bs = phase_batch_size(args.init_epoch)
     train_loader, val_loader = make_loaders(current_bs)
     epoch_step = num_train // current_bs
-    epoch_step_val = max(num_val // current_bs, 1)
+    epoch_step_val = max(num_val // (args.val_batch_size or current_bs), 1)
 
     time_str = datetime.datetime.now().strftime("%Y_%m_%d_%H_%M_%S")
     log_dir = os.path.join(args.save_dir, "loss_" + time_str)
@@ -334,7 +340,7 @@ def main():
             print(f"switching to batch size {current_bs} (unfreeze phase)")
             train_loader, val_loader = make_loaders(current_bs)
             epoch_step = num_train // current_bs
-            epoch_step_val = max(num_val // current_bs, 1)
+            epoch_step_val = max(num_val // (args.val_batch_size or current_bs), 1)
         # set_epoch AFTER any loader swap so the freshly built loader gets the
         # true epoch (mosaic epoch-gate + per-epoch RNG stream), not a stale
         # or reset one
