@@ -33,7 +33,7 @@ def detect_batch(
     letterbox: bool = True,
     max_det: int = 300,
     pre_nms_topk: int = 1024,
-    nms_backend: str = "xla",
+    nms_backend: str = "auto",
 ) -> NMSResult:
     """Full pipeline on preprocessed-size uint8/float inputs.
 
@@ -84,7 +84,7 @@ def detect_batch(
 )
 def detect_batch_jit(model, variables, rgb, nir, image_hw, *, conf_thres,
                      iou_thres, letterbox=True, max_det=300, pre_nms_topk=1024,
-                     nms_backend="xla"):
+                     nms_backend="auto"):
     return detect_batch(model, variables, rgb, nir, image_hw,
                         conf_thres=conf_thres, iou_thres=iou_thres,
                         letterbox=letterbox, max_det=max_det,

@@ -61,7 +61,7 @@ class YOLOPredictor:
         compute_dtype: str = "float32",
         variables=None,
         deploy: bool = False,
-        nms_backend: str = "xla",
+        nms_backend: str = "auto",
     ):
         if class_names is None:
             if classes_path is None:

@@ -123,7 +123,7 @@ def batched_nms(
     pre_nms_topk: int = 1024,
     max_det: int = 300,
     class_aware: bool = True,
-    backend: str = "xla",
+    backend: str = "auto",
 ) -> NMSResult:
     """Batch NMS.  boxes (B,A,4), scores (B,A), classes (B,A).
 
@@ -131,7 +131,11 @@ def batched_nms(
     backend='pallas': the VMEM-resident Pallas TPU kernel
     (`ops/pallas_nms.py`) — one kernel dispatch per batch instead of K
     sequential XLA loop steps; identical keep semantics (tests/test_pallas_nms).
+    backend='auto' (default): pallas on TPU, xla elsewhere — at batch 1 the
+    XLA loop costs +2.6 ms vs +0.4 ms for the kernel (tools/b1_breakdown.py).
     """
+    if backend == "auto":
+        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
     n_cand = jnp.sum(scores >= conf_thres, axis=-1).astype(jnp.int32)
     # one shared data-derived class offset for the whole batch (see nms_single)
     coord_scale = 2.0 * jnp.max(jnp.abs(boxes)) + 1.0

@@ -33,7 +33,7 @@ def parse_args():
                    choices=["float32", "bfloat16"])
     p.add_argument("--deploy", action="store_true",
                    help="use the re-parameterized (fused RepGhost) graph")
-    p.add_argument("--nms-backend", default="xla", choices=["xla", "pallas"],
+    p.add_argument("--nms-backend", default="auto", choices=["auto", "xla", "pallas"],
                    help="greedy-suppression backend: XLA fori-loop or the "
                         "Pallas TPU kernel (identical outputs, verified "
                         "on-chip)")
