@@ -56,8 +56,11 @@ def time_step(trainer, batch, iters=20):
 def main():
     sizes = [int(a) for a in sys.argv[1:]] or [16, 32, 64]
     size, m = 640, 64
+    remat = os.environ.get("SWEEP_REMAT") == "1"
     cfg = ModelConfig(num_classes=1, phi="n", input_shape=(size, size),
-                      compute_dtype="bfloat16")
+                      compute_dtype="bfloat16", remat=remat)
+    if remat:
+        print("[remat] backbones rematerialized in backward", flush=True)
     model, variables = init_model(cfg, jax.random.PRNGKey(0), batch_size=2)
     rng = np.random.Generator(np.random.PCG64(0))
     for b in sizes:
