@@ -239,11 +239,16 @@ def score_with_both_harnesses(map_out, score_threshold):
 
     # the reference harness writes .temp_files/results into `path`, EXCEPT
     # voc_ap which hardcodes ./map_out/results in the CWD regardless of `path`
-    # (`/root/reference/utils/utils_map.py:107-108,152`) — pre-create it.
-    os.makedirs(os.path.join(os.getcwd(), "map_out", "results"), exist_ok=True)
+    # (`/root/reference/utils/utils_map.py:107-108,152`) — pre-create it, and
+    # only clean it up if this run created it (a user's own ./map_out from a
+    # prior get_map.py run must survive).
+    cwd_map_out = os.path.join(os.getcwd(), "map_out")
+    created_cwd_map_out = not os.path.exists(cwd_map_out)
+    os.makedirs(os.path.join(cwd_map_out, "results"), exist_ok=True)
     ref_map = ref_get_map(0.5, False, score_threhold=score_threshold, path=map_out)
     shutil.rmtree(os.path.join(map_out, ".temp_files"), ignore_errors=True)
-    shutil.rmtree(os.path.join(os.getcwd(), "map_out"), ignore_errors=True)
+    if created_cwd_map_out:
+        shutil.rmtree(cwd_map_out, ignore_errors=True)
     our_map = our_get_map(0.5, False, score_threshold=score_threshold, path=map_out)
     return float(ref_map), float(our_map)
 
