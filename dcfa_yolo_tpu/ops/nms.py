@@ -137,14 +137,18 @@ def batched_nms(
     if backend == "auto":
         backend = "pallas" if jax.default_backend() == "tpu" else "xla"
     n_cand = jnp.sum(scores >= conf_thres, axis=-1).astype(jnp.int32)
-    # one shared data-derived class offset for the whole batch (see nms_single)
-    coord_scale = 2.0 * jnp.max(jnp.abs(boxes)) + 1.0
+    # PER-IMAGE data-derived class offset (the batched-NMS trick is per-image,
+    # so the offset only needs to separate one image's classes): keeping the
+    # reduction inside the vmap means a batch-sharded serving program stays
+    # collective-free — DP serving over a mesh needs no ICI traffic
+    # (tests/test_serving_sharded.py pins the no-collective property).
     if backend == "pallas":
         from dcfa_yolo_tpu.ops.pallas_nms import pallas_greedy_suppress
 
         k = min(pre_nms_topk, boxes.shape[1])
         sel = jax.vmap(lambda b, s, c: _select_candidates(
-            b, s, c, conf_thres, k, class_aware, coord_scale))
+            b, s, c, conf_thres, k, class_aware,
+            2.0 * jnp.max(jnp.abs(b)) + 1.0))
         top_boxes, top_scores, top_classes, alive, off_boxes = sel(
             boxes, scores, classes)
         keep = pallas_greedy_suppress(off_boxes, alive, iou_thres) & alive
@@ -152,7 +156,6 @@ def batched_nms(
             keep, top_boxes, top_scores, top_classes)
         return NMSResult(*out, n_candidates=n_cand)
     fn = lambda b, s, c: nms_single(
-        b, s, c, conf_thres, iou_thres, pre_nms_topk, max_det, class_aware,
-        coord_scale)
+        b, s, c, conf_thres, iou_thres, pre_nms_topk, max_det, class_aware)
     out = jax.vmap(fn)(boxes, scores, classes)
     return NMSResult(*out, n_candidates=n_cand)
