@@ -8,6 +8,19 @@ int8 TOPS vs 197 bf16 TFLOPs), a PTQ serving path can approach 2x.  This
 probe measures one representative conv chain both ways before we build it.
 
 Run on the real TPU:  python tools/int8_conv_probe.py
+
+RESULT (v5e, 2026-08-17): NEGATIVE — do not build a PTQ serving path on XLA's
+s8 conv lowering.  s8 operands survive into the optimized HLO and cost-analysis
+bytes drop ~2-3x, but wall time never improves and regresses at small batch:
+
+  B128  80x80 C64: bytes 1680->525 MB, time 3.52->3.60 ms (0.98x), bf16 MFU 0.52
+  B128 160x160 C32: bytes 1678->839 MB, time 4.27->4.41 ms (0.97x), MFU 0.29
+  B128 320x320 C16: bytes 2517->839 MB, time 6.47->6.95 ms (0.93x), MFU 0.14
+  B16  160x160 C32: bytes 1133->2936 MB (!), time 2.72->4.44 ms (0.61x), MFU 0.06
+
+The s8xs8->s32 conv executes at ~0.5x the bf16 FLOP rate (never the 2x int8
+MXU peak), and at b16 the int8 layouts PAD so badly that bytes accessed
+triple.  The quant/dequant epilogues fuse fine — the conv itself is the loss.
 """
 
 from __future__ import annotations
