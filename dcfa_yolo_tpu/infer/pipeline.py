@@ -21,6 +21,64 @@ from dcfa_yolo_tpu.ops.nms import NMSResult, batched_nms
 from dcfa_yolo_tpu.ops.resize import letterbox_batch
 
 
+def _stem_backend_resolve(stem_backend: str, cfg: ModelConfig) -> bool:
+    """Decide whether the fused Pallas stem (ops/pallas_stem.py) handles the
+    conv3x3+BN+ReLU+maxpool stems.  'auto' enables it exactly where it is a
+    pure speed win: TPU backend, bf16 compute, phi with 16 stem channels, and
+    an input shape the kernel's 16-row grouping supports."""
+    if stem_backend == "xla":
+        return False
+    eligible = (cfg.base_channels == 16
+                and cfg.compute_dtype == "bfloat16"
+                and cfg.input_shape[0] % 16 == 0
+                and cfg.input_shape[1] % 2 == 0)
+    if stem_backend == "pallas":
+        if not eligible:
+            raise ValueError(
+                "stem_backend='pallas' needs base_channels=16, bf16 compute, "
+                f"H%16==0: cfg has base_channels={cfg.base_channels}, "
+                f"compute_dtype={cfg.compute_dtype}, "
+                f"input_shape={cfg.input_shape}")
+        return True
+    assert stem_backend == "auto", stem_backend
+    # 'auto' stays on the XLA stem until the Pallas kernel measures FASTER on
+    # the real chip (v1 measured slower; v2's aligned re-pack is unproven —
+    # tools/stem_pallas_ab.py is the gate). Flip here once it wins.
+    return False
+
+
+def _pallas_stem_outs(variables, rgb, nir, in_hw, letterbox: bool):
+    """Letterbox to the kernel's channels-first zero-bordered contract and run
+    the fused stem for both modalities.  Returns NHWC /2-pooled maps."""
+    from dcfa_yolo_tpu.ops.pallas_stem import fold_stem_params, pallas_stem
+    from dcfa_yolo_tpu.ops.resize import letterbox_batch_cf, resize_bicubic
+
+    interpret = jax.default_backend() != "tpu"
+    outs = []
+    for img, bk in ((rgb, "backbone_rgb"), (nir, "backbone_nir")):
+        if img.shape[1:3] != tuple(in_hw):
+            if letterbox:
+                x_cf = letterbox_batch_cf(img, in_hw)
+            else:
+                x = jnp.clip(jnp.round(resize_bicubic(
+                    img.astype(jnp.float32), in_hw)), 0, 255)
+                x_cf = jnp.pad(jnp.transpose(x, (0, 3, 1, 2)),
+                               ((0, 0), (0, 0), (1, 1), (1, 1)))
+        else:
+            x_cf = jnp.pad(
+                jnp.transpose(img.astype(jnp.float32), (0, 3, 1, 2)),
+                ((0, 0), (0, 0), (1, 1), (1, 1)))
+        p = variables["params"][bk]["stem"]
+        s = variables["batch_stats"][bk]["stem"]
+        wd, bias = fold_stem_params(
+            p["conv"]["kernel"], p["bn"]["scale"], p["bn"]["bias"],
+            s["bn"]["mean"], s["bn"]["var"])
+        so = pallas_stem(x_cf.astype(jnp.bfloat16), wd, bias,
+                         interpret=interpret)
+        outs.append(jnp.transpose(so, (0, 1, 3, 2)))  # → NHWC
+    return tuple(outs)
+
+
 def detect_batch(
     model: DCFAYolo,
     variables,
@@ -34,6 +92,7 @@ def detect_batch(
     max_det: int = 300,
     pre_nms_topk: int = 1024,
     nms_backend: str = "auto",
+    stem_backend: str = "auto",
 ) -> NMSResult:
     """Full pipeline on preprocessed-size uint8/float inputs.
 
@@ -46,19 +105,26 @@ def detect_batch(
     """
     cfg = model.cfg
     in_hw = cfg.input_shape
-    if rgb.shape[1:3] != tuple(in_hw):
-        if letterbox:
-            rgb = letterbox_batch(rgb, in_hw)
-            nir = letterbox_batch(nir, in_hw)
-        else:
-            from dcfa_yolo_tpu.ops.resize import resize_bicubic
+    if _stem_backend_resolve(stem_backend, cfg):
+        stem_outs = _pallas_stem_outs(variables, rgb, nir, in_hw, letterbox)
+        b = rgb.shape[0]
+        dummy = jnp.zeros((b, 2, 2, 3), jnp.float32)
+        out = model.apply(variables, dummy, dummy, train=False,
+                          stem_outs=stem_outs)
+    else:
+        if rgb.shape[1:3] != tuple(in_hw):
+            if letterbox:
+                rgb = letterbox_batch(rgb, in_hw)
+                nir = letterbox_batch(nir, in_hw)
+            else:
+                from dcfa_yolo_tpu.ops.resize import resize_bicubic
 
-            rgb = jnp.clip(jnp.round(resize_bicubic(rgb.astype(jnp.float32), in_hw)), 0, 255)
-            nir = jnp.clip(jnp.round(resize_bicubic(nir.astype(jnp.float32), in_hw)), 0, 255)
-    rgb = rgb.astype(jnp.float32) / 255.0
-    nir = nir.astype(jnp.float32) / 255.0
+                rgb = jnp.clip(jnp.round(resize_bicubic(rgb.astype(jnp.float32), in_hw)), 0, 255)
+                nir = jnp.clip(jnp.round(resize_bicubic(nir.astype(jnp.float32), in_hw)), 0, 255)
+        rgb = rgb.astype(jnp.float32) / 255.0
+        nir = nir.astype(jnp.float32) / 255.0
 
-    out = model.apply(variables, rgb, nir, train=False)
+        out = model.apply(variables, rgb, nir, train=False)
     pred = decode_box(out.dbox, out.cls, out.anchors, out.strides, in_hw)
     xywh, scores_all = pred[..., :4], pred[..., 4:]
     x1y1 = xywh[..., :2] - xywh[..., 2:4] / 2
@@ -79,16 +145,17 @@ def detect_batch(
 @functools.partial(
     jax.jit,
     static_argnames=("model", "conf_thres", "iou_thres", "letterbox", "max_det",
-                     "pre_nms_topk", "nms_backend"),
+                     "pre_nms_topk", "nms_backend", "stem_backend"),
     donate_argnames=("rgb", "nir"),
 )
 def detect_batch_jit(model, variables, rgb, nir, image_hw, *, conf_thres,
                      iou_thres, letterbox=True, max_det=300, pre_nms_topk=1024,
-                     nms_backend="auto"):
+                     nms_backend="auto", stem_backend="auto"):
     return detect_batch(model, variables, rgb, nir, image_hw,
                         conf_thres=conf_thres, iou_thres=iou_thres,
                         letterbox=letterbox, max_det=max_det,
-                        pre_nms_topk=pre_nms_topk, nms_backend=nms_backend)
+                        pre_nms_topk=pre_nms_topk, nms_backend=nms_backend,
+                        stem_backend=stem_backend)
 
 
 def heatmap_scores(model: DCFAYolo, variables, rgb: jnp.ndarray, nir: jnp.ndarray

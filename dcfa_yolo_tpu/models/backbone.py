@@ -21,12 +21,19 @@ class Backbone(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = False
+    def __call__(self, x: jnp.ndarray, train: bool = False,
+                 stem_out: Optional[jnp.ndarray] = None
                  ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
         bc = self.base_channels
         kw = dict(axis_name=self.axis_name, dtype=self.dtype)
 
-        x = ConvMaxpool(bc, name="stem", **kw)(x, train=train)
+        if stem_out is not None:
+            # serving fast path: the fused Pallas stem (ops/pallas_stem.py)
+            # already produced the pooled /2 NHWC map outside the module; the
+            # stem submodules' params stay in the tree, just unread here
+            x = stem_out.astype(self.dtype)
+        else:
+            x = ConvMaxpool(bc, name="stem", **kw)(x, train=train)
 
         x = ConvBnAct(bc * 2, 3, 2, name="dark2_conv", **kw)(x, train=train)
         x = ShuffleNetV2Block(bc * 2, stride=1, name="dark2_shuffle", **kw)(x, train=train)

@@ -49,7 +49,8 @@ class DCFAYolo(nn.Module):
     axis_name: Optional[str] = None
 
     @nn.compact
-    def __call__(self, rgb: jnp.ndarray, nir: jnp.ndarray, train: bool = False
+    def __call__(self, rgb: jnp.ndarray, nir: jnp.ndarray, train: bool = False,
+                 stem_outs: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None
                  ) -> YoloOutputs:
         cfg = self.cfg
         dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
@@ -65,10 +66,11 @@ class DCFAYolo(nn.Module):
         # arg 2 is the python-bool train flag.
         Bk = (nn.remat(Backbone, static_argnums=(2,)) if cfg.remat and train
               else Backbone)
+        stem_rgb, stem_nir = stem_outs if stem_outs is not None else (None, None)
         feat1_rgb, feat2_rgb, feat3_rgb = Bk(bc, deep, name="backbone_rgb", **kw)(
-            rgb, train)
+            rgb, train, stem_rgb)
         feat1_nir, feat2_nir, feat3_nir = Bk(bc, deep, name="backbone_nir", **kw)(
-            nir, train)
+            nir, train, stem_nir)
 
         # Per-level, per-modality CBAM before fusion (`nets/yolo_mul.py:346-353`).
         feat1_rgb = CBAM(dtype=dtype, name="cbam_rgb_feat1")(feat1_rgb)
@@ -134,7 +136,12 @@ class DCFAYolo(nn.Module):
         cls_logits = flat[..., cfg.reg_max * 4:].astype(jnp.float32)
         dbox = dfl_decode(box_logits, cfg.reg_max)
 
-        input_hw = (rgb.shape[1], rgb.shape[2])
+        if stem_outs is not None:
+            # rgb/nir may be dummies on the external-stem path; the stem
+            # output is the /2-pooled map
+            input_hw = (stem_outs[0].shape[1] * 2, stem_outs[0].shape[2] * 2)
+        else:
+            input_hw = (rgb.shape[1], rgb.shape[2])
         anchors_np, strides_np = make_anchors_np(input_hw, cfg.strides)
         return YoloOutputs(
             dbox=dbox,

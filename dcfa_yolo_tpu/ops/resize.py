@@ -127,6 +127,52 @@ def resize_bicubic(x: jnp.ndarray, out_hw: Tuple[int, int], pil_parity: bool = T
     return _separable_resize(x, make(h, out_hw[0]), make(w, out_hw[1]))
 
 
+def letterbox_batch_cf(
+    images: jnp.ndarray,
+    target_hw: Tuple[int, int],
+    pad_value: float = 128.0,
+    pil_parity: bool = True,
+) -> jnp.ndarray:
+    """Letterbox like `letterbox_batch`, but emit a channels-first, 1-px
+    ZERO-bordered (B, 3, H+2, W+2) tensor — the input contract of the fused
+    Pallas stem (`ops/pallas_stem.py`).  The channel transpose rides on the
+    vertical-resize einsum's output ordering and the extra border on the pad
+    op that exists anyway, so this costs nothing over the NHWC letterbox.
+
+    Same sampling math as `letterbox_batch` (PIL BICUBIC parity incl. the
+    uint8 round between passes, `utils/utils.py:24-37`)."""
+    ih, iw = images.shape[1], images.shape[2]
+    th, tw = target_hw
+    scale = min(tw / iw, th / ih)
+    nw, nh = int(iw * scale), int(ih * scale)
+    x = images.astype(jnp.float32)
+    if (nh, nw) == (ih, iw):
+        x_cf = jnp.transpose(x, (0, 3, 1, 2))
+    else:
+        if pil_parity:
+            aw = jnp.asarray(_pil_cubic_matrix(iw, nw), dtype=x.dtype)
+            ah = jnp.asarray(_pil_cubic_matrix(ih, nh), dtype=x.dtype)
+        else:
+            aw = jnp.asarray(_cubic_matrix(iw, nw), dtype=x.dtype)
+            ah = jnp.asarray(_cubic_matrix(ih, nh), dtype=x.dtype)
+        x = jnp.einsum("qw,bhwc->bhqc", aw, x)
+        if pil_parity:
+            x = jnp.clip(jnp.round(x), 0.0, 255.0)
+        # vertical pass writes the channels-first layout directly
+        x_cf = jnp.einsum("ph,bhqc->bcpq", ah, x)
+    x_cf = jnp.clip(jnp.round(x_cf), 0.0, 255.0)
+    pad_top = (th - nh) // 2
+    pad_left = (tw - nw) // 2
+    # inner pad: gray letterbox canvas; outer 1-px pad: the conv's zero border
+    x_cf = jnp.pad(
+        x_cf,
+        ((0, 0), (0, 0), (pad_top, th - nh - pad_top),
+         (pad_left, tw - nw - pad_left)),
+        constant_values=pad_value,
+    )
+    return jnp.pad(x_cf, ((0, 0), (0, 0), (1, 1), (1, 1)))
+
+
 def letterbox_batch(
     images: jnp.ndarray,
     target_hw: Tuple[int, int],

@@ -1,0 +1,124 @@
+"""Fused Pallas stem (ops/pallas_stem.py) correctness pins.
+
+The kernel runs in interpreter mode on the CPU test backend; on TPU the same
+jaxpr lowers through Mosaic (driven by tools/stem_pallas_ab.py and the bench).
+Reference semantics: conv3x3 s1 (3→16, zero pad) on /255-normalized input +
+eval-BN + ReLU + maxpool3x3 s2 pad1 — `/root/reference/nets/yolo_mul.py:104-115`.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from dcfa_yolo_tpu.ops.pallas_stem import fold_stem_params, pallas_stem
+from dcfa_yolo_tpu.ops.resize import letterbox_batch, letterbox_batch_cf
+
+
+def _xla_stem_f32(img, k, gamma, beta, mean, var, eps=1e-5):
+    x = img / 255.0
+    y = jax.lax.conv_general_dilated(
+        x, k, (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    a = gamma / jnp.sqrt(var + eps)
+    y = jnp.maximum(y * a + (beta - mean * a), 0.0)
+    return jax.lax.reduce_window(
+        y, -jnp.inf, jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1),
+        [(0, 0), (1, 1), (1, 1), (0, 0)])
+
+
+@pytest.mark.parametrize("shape", [(2, 32, 48), (1, 64, 130), (3, 16, 640)])
+def test_pallas_stem_matches_xla_semantics(shape):
+    B, H, W = shape
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.integers(0, 256, (B, H, W, 3)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((3, 3, 3, 16)) * 0.3, jnp.float32)
+    gamma = jnp.asarray(rng.standard_normal(16) * 0.2 + 1.0, jnp.float32)
+    beta = jnp.asarray(rng.standard_normal(16) * 0.2, jnp.float32)
+    mean = jnp.asarray(rng.standard_normal(16) * 0.1, jnp.float32)
+    var = jnp.asarray(rng.random(16) + 0.5, jnp.float32)
+
+    ref = _xla_stem_f32(img, k, gamma, beta, mean, var)
+
+    wd, bias = fold_stem_params(k, gamma, beta, mean, var)
+    x_cf = jnp.pad(jnp.transpose(img, (0, 3, 1, 2)),
+                   ((0, 0), (0, 0), (1, 1), (1, 1)))
+    out = pallas_stem(x_cf, wd, bias, interpret=True)
+    out_nhwc = jnp.transpose(out, (0, 1, 3, 2)).astype(jnp.float32)
+
+    assert out_nhwc.shape == ref.shape
+    # kernel is bf16-operand/f32-accumulate; reference above is f32
+    np.testing.assert_allclose(np.asarray(out_nhwc), np.asarray(ref),
+                               atol=0.03, rtol=0.02)
+
+
+def test_pallas_stem_negative_gamma_relu_commutes():
+    """relu∘maxpool == maxpool∘relu even when the folded BN scale is negative
+    (monotone max); the pool's zero padding must not leak through."""
+    rng = np.random.default_rng(1)
+    img = jnp.asarray(rng.integers(0, 256, (1, 32, 32, 3)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((3, 3, 3, 16)) * 0.3, jnp.float32)
+    gamma = jnp.asarray(-(rng.random(16) + 0.2), jnp.float32)  # all negative
+    beta = jnp.asarray(rng.standard_normal(16) * 0.5, jnp.float32)
+    mean = jnp.asarray(rng.standard_normal(16) * 0.1, jnp.float32)
+    var = jnp.asarray(rng.random(16) + 0.5, jnp.float32)
+
+    ref = _xla_stem_f32(img, k, gamma, beta, mean, var)
+    wd, bias = fold_stem_params(k, gamma, beta, mean, var)
+    x_cf = jnp.pad(jnp.transpose(img, (0, 3, 1, 2)),
+                   ((0, 0), (0, 0), (1, 1), (1, 1)))
+    out = jnp.transpose(pallas_stem(x_cf, wd, bias, interpret=True),
+                        (0, 1, 3, 2)).astype(jnp.float32)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=0.03, rtol=0.02)
+
+
+def test_letterbox_batch_cf_matches_nhwc():
+    rng = np.random.default_rng(2)
+    img = jnp.asarray(rng.integers(0, 256, (2, 48, 72, 3)), jnp.float32)
+    a = letterbox_batch(img, (64, 64))
+    b = letterbox_batch_cf(img, (64, 64))
+    assert b.shape == (2, 3, 66, 66)
+    inner = jnp.transpose(b[:, :, 1:-1, 1:-1], (0, 2, 3, 1))
+    np.testing.assert_array_equal(np.asarray(inner), np.asarray(a))
+    border = (np.abs(np.asarray(b[:, :, 0, :])).sum()
+              + np.abs(np.asarray(b[:, :, -1, :])).sum()
+              + np.abs(np.asarray(b[:, :, :, 0])).sum()
+              + np.abs(np.asarray(b[:, :, :, -1])).sum())
+    assert border == 0.0
+
+
+def test_detect_batch_pallas_stem_matches_xla_stem():
+    """Full serving pipeline: stem_backend='pallas' (interpret on CPU) must
+    reproduce the XLA-stem pipeline's detections at bf16 tolerance."""
+    from dcfa_yolo_tpu.config import ModelConfig
+    from dcfa_yolo_tpu.infer.pipeline import detect_batch
+    from dcfa_yolo_tpu.models.yolo import init_model
+
+    cfg = ModelConfig(num_classes=2, phi="n", input_shape=(64, 64),
+                      compute_dtype="bfloat16")
+    model, variables = init_model(cfg, jax.random.PRNGKey(0))
+    rng = np.random.Generator(np.random.PCG64(3))
+    b = 2
+    rgb = jnp.asarray(rng.integers(0, 255, (b, 48, 72, 3)), jnp.float32)
+    nir = jnp.asarray(rng.integers(0, 255, (b, 48, 72, 3)), jnp.float32)
+    hw = jnp.asarray(np.tile([48.0, 72.0], (b, 1)), jnp.float32)
+    kw = dict(conf_thres=0.3, iou_thres=0.5, letterbox=True, max_det=10,
+              pre_nms_topk=32)
+
+    r_xla = jax.jit(lambda r, n, h: detect_batch(
+        model, variables, r, n, h, stem_backend="xla", **kw))(rgb, nir, hw)
+    r_pal = jax.jit(lambda r, n, h: detect_batch(
+        model, variables, r, n, h, stem_backend="pallas", **kw))(rgb, nir, hw)
+
+    np.testing.assert_array_equal(np.asarray(r_xla.classes),
+                                  np.asarray(r_pal.classes))
+    np.testing.assert_array_equal(np.asarray(r_xla.valid),
+                                  np.asarray(r_pal.valid))
+    np.testing.assert_allclose(np.asarray(r_xla.boxes),
+                               np.asarray(r_pal.boxes), atol=0.01)
+    np.testing.assert_allclose(np.asarray(r_xla.scores),
+                               np.asarray(r_pal.scores), atol=0.005)
