@@ -62,6 +62,7 @@ class YOLOPredictor:
         variables=None,
         deploy: bool = False,
         nms_backend: str = "auto",
+        stem_backend: str = "auto",
     ):
         if class_names is None:
             if classes_path is None:
@@ -82,6 +83,9 @@ class YOLOPredictor:
         # 'xla' (fori-loop) or 'pallas' (VMEM-resident TPU kernel); identical
         # keep semantics, verified on-chip (tools/perf_breakdown.py)
         self.nms_backend = nms_backend
+        # 'xla' or 'pallas' (fused conv+BN+ReLU+maxpool stem kernel,
+        # ops/pallas_stem.py); 'auto' is resolved by the pipeline
+        self.stem_backend = stem_backend
 
         self.cfg = ModelConfig(
             num_classes=self.num_classes, phi=phi,
@@ -121,7 +125,7 @@ class YOLOPredictor:
             conf_thres=self.confidence if confidence is None else confidence,
             iou_thres=self.nms_iou, letterbox=self.letterbox_image,
             max_det=self.max_det, pre_nms_topk=self.pre_nms_topk,
-            nms_backend=self.nms_backend)
+            nms_backend=self.nms_backend, stem_backend=self.stem_backend)
         res = jax.tree_util.tree_map(np.asarray, res)
         self._note_caps(res)
         return res
@@ -163,7 +167,7 @@ class YOLOPredictor:
             conf_thres=self.confidence if confidence is None else confidence,
             iou_thres=self.nms_iou, letterbox=self.letterbox_image,
             max_det=self.max_det, pre_nms_topk=self.pre_nms_topk,
-            nms_backend=self.nms_backend)
+            nms_backend=self.nms_backend, stem_backend=self.stem_backend)
         res = jax.tree_util.tree_map(np.asarray, res)
         self._note_caps(res)
         out = []

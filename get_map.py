@@ -29,6 +29,9 @@ def parse_args():
     p.add_argument("--vocdevkit-path", default="VOCdevkit")
     p.add_argument("--map-out-path", default="map_out")
     p.add_argument("--image-set", default="test")
+    p.add_argument("--stem-backend", default="auto",
+                   choices=["auto", "xla", "pallas"],
+                   help="backbone-stem backend (see ops/pallas_stem.py)")
     p.add_argument("--compute-dtype", default="bfloat16")
     p.add_argument("--max-det", type=int, default=300,
                    help="per-image NMS survivor cap. The reference CLI is "
@@ -79,7 +82,8 @@ def main():
                 input_shape=tuple(args.input_shape), phi=args.phi,
                 confidence=args.confidence, nms_iou=args.nms_iou,
                 compute_dtype=args.compute_dtype, max_det=max_det,
-                pre_nms_topk=pre_nms_topk)
+                pre_nms_topk=pre_nms_topk,
+                stem_backend=args.stem_backend)
             print(f"Get predict result (pre_nms_topk={pre_nms_topk}, "
                   f"max_det={max_det}).")
             for image_id in image_ids:

@@ -37,6 +37,9 @@ def parse_args():
                    help="greedy-suppression backend: XLA fori-loop or the "
                         "Pallas TPU kernel (identical outputs, verified "
                         "on-chip)")
+    p.add_argument("--stem-backend", default="auto", choices=["auto", "xla", "pallas"],
+                   help="backbone-stem backend: XLA conv+maxpool or the fused "
+                        "Pallas VMEM kernel (ops/pallas_stem.py; bf16 only)")
     return p.parse_args()
 
 
@@ -57,7 +60,7 @@ def main():
         input_shape=tuple(args.input_shape), phi=args.phi,
         confidence=args.confidence, nms_iou=args.nms_iou,
         compute_dtype=args.compute_dtype, deploy=args.deploy,
-        nms_backend=args.nms_backend)
+        nms_backend=args.nms_backend, stem_backend=args.stem_backend)
     # deploy=True re-parameterizes inside the predictor (train-graph
     # checkpoint -> fused serving weights); no external transform needed
 
