@@ -81,6 +81,7 @@ def main() -> None:
     iters = int(os.environ.get("BENCH_ITERS", "30"))
     size = int(os.environ.get("BENCH_SIZE", "640"))
     nms_backend = os.environ.get("BENCH_NMS", "pallas")
+    stem_backend = os.environ.get("BENCH_STEM", "auto")
 
     cfg = ModelConfig(num_classes=1, phi="n", input_shape=(size, size),
                       compute_dtype="bfloat16")
@@ -99,7 +100,8 @@ def main() -> None:
     def fn(r, n):
         return detect_batch(model, variables, r, n, image_hw, conf_thres=0.5,
                             iou_thres=0.3, letterbox=True, max_det=300,
-                            pre_nms_topk=512, nms_backend=nms_backend)
+                            pre_nms_topk=512, nms_backend=nms_backend,
+                            stem_backend=stem_backend)
 
     # compiled-executable accounting
     compiled = jax.jit(fn).lower(rgb, nir).compile()

@@ -151,7 +151,10 @@ def batched_nms(
             2.0 * jnp.max(jnp.abs(b)) + 1.0))
         top_boxes, top_scores, top_classes, alive, off_boxes = sel(
             boxes, scores, classes)
-        keep = pallas_greedy_suppress(off_boxes, alive, iou_thres) & alive
+        keep = pallas_greedy_suppress(
+            off_boxes, alive, iou_thres,
+            # explicit backend='pallas' off-TPU (tests) runs the interpreter
+            interpret=jax.default_backend() != "tpu") & alive
         out = jax.vmap(lambda kp, b, s, c: _finalize(kp, b, s, c, max_det))(
             keep, top_boxes, top_scores, top_classes)
         return NMSResult(*out, n_candidates=n_cand)

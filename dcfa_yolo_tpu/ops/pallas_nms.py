@@ -59,25 +59,77 @@ def _nms_kernel(x1_ref, y1_ref, x2_ref, y2_ref, alive_ref, keep_ref, *,
     keep_ref[0, 0, :] = keep
 
 
-@functools.partial(jax.jit, static_argnames=("iou_thres", "interpret"))
-def pallas_greedy_suppress(boxes: jnp.ndarray, alive: jnp.ndarray,
-                           iou_thres: float,
-                           interpret: bool = False) -> jnp.ndarray:
-    """Batched greedy suppression.  boxes (B, K, 4) score-sorted xyxy;
-    alive (B, K) bool → keep (B, K) bool.  interpret=True runs the kernel in
-    the Pallas interpreter (for CPU tests)."""
-    b, k, _ = boxes.shape
-    # (B, 1, K) planes: K rides the 128-lane axis, the singleton dim keeps the
-    # block shape legal for the Mosaic tiling rules
-    planes = [boxes[..., j].astype(jnp.float32)[:, None, :] for j in range(4)]
+def _suppress_planes(x1, y1, x2, y2, alive, *, iou_thres, interpret):
+    """Per-shard pallas_call on (B, 1, K) planes → (B, 1, K) keep mask."""
+    b, _, k = x1.shape
     kernel = functools.partial(_nms_kernel, iou_thres=iou_thres)
     spec = pl.BlockSpec((1, 1, k), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
-    keep = pl.pallas_call(
+    return pl.pallas_call(
         kernel,
         grid=(b,),
         in_specs=[spec] * 5,
         out_specs=spec,
         out_shape=jax.ShapeDtypeStruct((b, 1, k), jnp.float32),
         interpret=interpret,
-    )(*planes, alive.astype(jnp.float32)[:, None, :])
+    )(x1, y1, x2, y2, alive)
+
+
+@functools.lru_cache(maxsize=None)
+def _partitionable_suppress(iou_thres: float, interpret: bool):
+    """Mosaic custom-calls cannot be auto-partitioned by GSPMD/Shardy, which
+    would break batch-sharded DP serving with the Pallas NMS backend.  The
+    kernel is trivially batch-parallel (grid=(B,), one program per image), so
+    declare exactly that: dim 0 passes through, everything else replicated."""
+    from jax.experimental.custom_partitioning import custom_partitioning
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    impl = functools.partial(_suppress_planes, iou_thres=iou_thres,
+                             interpret=interpret)
+    fn = custom_partitioning(lambda *a: impl(*a))
+
+    def _bshard(sharding, shape):
+        spec0 = sharding.spec[0] if len(sharding.spec) else None
+        return NamedSharding(sharding.mesh,
+                             P(spec0, *([None] * (len(shape.shape) - 1))))
+
+    def infer_sharding_from_operands(mesh, arg_shapes, result_shape):
+        return _bshard(arg_shapes[0].sharding, result_shape)
+
+    def partition(mesh, arg_shapes, result_shape):
+        arg_shardings = tuple(_bshard(a.sharding, a) for a in arg_shapes)
+        result_sharding = _bshard(arg_shapes[0].sharding, result_shape)
+        return mesh, impl, result_sharding, arg_shardings
+
+    fn.def_partition(
+        infer_sharding_from_operands=infer_sharding_from_operands,
+        partition=partition,
+        # Shardy path (the default partitioner in this jax): batch dim is
+        # elementwise, candidate axis must stay whole on each shard
+        sharding_rule="b u k, b u k, b u k, b u k, b u k -> b u k",
+        need_replication_factors=("u", "k"),
+    )
+    return fn
+
+
+@functools.partial(jax.jit, static_argnames=("iou_thres", "interpret"))
+def pallas_greedy_suppress(boxes: jnp.ndarray, alive: jnp.ndarray,
+                           iou_thres: float,
+                           interpret: bool = False) -> jnp.ndarray:
+    """Batched greedy suppression.  boxes (B, K, 4) score-sorted xyxy;
+    alive (B, K) bool → keep (B, K) bool.  interpret=True runs the kernel in
+    the Pallas interpreter (for CPU tests).  Batch-partitionable: under a
+    batch-sharded jit the kernel runs per-shard with no resharding."""
+    # (B, 1, K) planes: K rides the 128-lane axis, the singleton dim keeps the
+    # block shape legal for the Mosaic tiling rules
+    planes = [boxes[..., j].astype(jnp.float32)[:, None, :] for j in range(4)]
+    alive_p = alive.astype(jnp.float32)[:, None, :]
+    if len(jax.devices()) > 1:
+        keep = _partitionable_suppress(iou_thres, interpret)(*planes, alive_p)
+    else:
+        # custom_partitioning needs a live-backend Python callback at compile
+        # time, which AOT/chipless compilers (incl. the axon remote-compile
+        # helper) cannot provide ("Custom emitter for CustomSPMDPartitioning
+        # not found") — and with one device there is nothing to partition
+        keep = _suppress_planes(*planes, alive_p, iou_thres=iou_thres,
+                                interpret=interpret)
     return keep[:, 0, :] > 0.5

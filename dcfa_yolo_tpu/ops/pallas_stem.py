@@ -152,17 +152,11 @@ def _stem_kernel(x_ref, wd_ref, b_ref, out_ref, p_ref):
     jax.lax.fori_loop(0, h // 16, group, carry0)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def pallas_stem(x_cf: jnp.ndarray, wd: jnp.ndarray, bias: jnp.ndarray,
-                interpret: bool = False) -> jnp.ndarray:
-    """Fused stem.  x_cf (B, 3, H+2, W+2) bf16, raw 0..255 with a 1-px zero
-    border; wd/bias from `fold_stem_params`.  Returns (B, H/2, 16, W/2) bf16
-    (transpose (0, 1, 3, 2) for NHWC — the caller's concern)."""
+def _stem_call(x_cf: jnp.ndarray, wd: jnp.ndarray, bias: jnp.ndarray,
+               interpret: bool) -> jnp.ndarray:
+    """Per-shard pallas_call (shapes derived from the shard's x_cf)."""
     b, c, h2, w2 = x_cf.shape
     h, w = h2 - 2, w2 - 2
-    if c != 3 or h % 16 or w % 2:
-        raise ValueError(f"pallas_stem needs (B,3,H+2,W+2) with H%16==0, "
-                         f"W even; got {x_cf.shape}")
     out = pl.pallas_call(
         _stem_kernel,
         grid=(b,),
@@ -185,3 +179,68 @@ def pallas_stem(x_cf: jnp.ndarray, wd: jnp.ndarray, bias: jnp.ndarray,
         interpret=interpret,
     )(x_cf.astype(jnp.bfloat16), wd, bias)
     return out
+
+
+@functools.lru_cache(maxsize=None)
+def _partitionable_stem(interpret: bool):
+    """Mosaic custom-calls cannot be auto-partitioned by GSPMD/Shardy; the
+    stem is trivially batch-parallel (grid=(B,)), so declare batch dim 0 of
+    the image passthrough and everything else (weights, bias) replicated —
+    batch-sharded DP serving then runs the kernel per-shard, reshard-free."""
+    from jax.experimental.custom_partitioning import custom_partitioning
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    impl = functools.partial(_stem_call, interpret=interpret)
+    fn = custom_partitioning(lambda x, w, b: impl(x, w, b))
+
+    def _bshard(sharding, shape):
+        spec0 = sharding.spec[0] if len(sharding.spec) else None
+        return NamedSharding(sharding.mesh,
+                             P(spec0, *([None] * (len(shape.shape) - 1))))
+
+    def _repl(sharding, shape):
+        return NamedSharding(sharding.mesh,
+                             P(*([None] * len(shape.shape))))
+
+    def infer_sharding_from_operands(mesh, arg_shapes, result_shape):
+        return _bshard(arg_shapes[0].sharding, result_shape)
+
+    def partition(mesh, arg_shapes, result_shape):
+        arg_shardings = (_bshard(arg_shapes[0].sharding, arg_shapes[0]),
+                         _repl(arg_shapes[1].sharding, arg_shapes[1]),
+                         _repl(arg_shapes[2].sharding, arg_shapes[2]))
+        result_sharding = _bshard(arg_shapes[0].sharding, result_shape)
+        return mesh, impl, result_sharding, arg_shardings
+
+    fn.def_partition(
+        infer_sharding_from_operands=infer_sharding_from_operands,
+        partition=partition,
+        # Shardy path: only the image batch dim is elementwise; every other
+        # dim (image planes, GEMM weights, bias) must stay whole per shard
+        sharding_rule="b c h w, p q k m, m u -> b e s g",
+        need_replication_factors=("c", "h", "w", "p", "q", "k", "m", "u",
+                                  "e", "s", "g"),
+    )
+    return fn
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def pallas_stem(x_cf: jnp.ndarray, wd: jnp.ndarray, bias: jnp.ndarray,
+                interpret: bool = False) -> jnp.ndarray:
+    """Fused stem.  x_cf (B, 3, H+2, W+2) bf16, raw 0..255 with a 1-px zero
+    border; wd/bias from `fold_stem_params`.  Returns (B, H/2, 16, W/2) bf16
+    (transpose (0, 1, 3, 2) for NHWC — the caller's concern).
+    Batch-partitionable under a sharded jit (see _partitionable_stem)."""
+    b, c, h2, w2 = x_cf.shape
+    h, w = h2 - 2, w2 - 2
+    if c != 3 or h % 16 or w % 2:
+        raise ValueError(f"pallas_stem needs (B,3,H+2,W+2) with H%16==0, "
+                         f"W even; got {x_cf.shape}")
+    if len(jax.devices()) > 1:
+        return _partitionable_stem(interpret)(
+            x_cf.astype(jnp.bfloat16), wd, bias)
+    # custom_partitioning needs a live-backend Python callback at compile
+    # time, which AOT/chipless compilers (incl. the axon remote-compile
+    # helper) cannot provide — and with one device there is nothing to
+    # partition
+    return _stem_call(x_cf.astype(jnp.bfloat16), wd, bias, interpret)

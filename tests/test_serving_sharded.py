@@ -72,6 +72,43 @@ def test_sharded_serving_matches_single_device(setup):
                                        err_msg=name)
 
 
+def test_sharded_serving_pallas_backends(setup):
+    """Mosaic custom-calls cannot be auto-partitioned; the custom_partitioning
+    wrappers (ops/pallas_nms.py, ops/pallas_stem.py) declare the kernels
+    batch-parallel.  A batch-sharded pipeline with BOTH Pallas backends forced
+    must run and match the single-device result."""
+    cfg = ModelConfig(num_classes=2, phi="n", input_shape=(64, 64),
+                      compute_dtype="bfloat16")
+    model, variables = init_model(cfg, jax.random.PRNGKey(0))
+    rng = np.random.Generator(np.random.PCG64(7))
+    b = 8
+    rgb = jnp.asarray(rng.integers(0, 255, (b, 48, 72, 3)), jnp.float32)
+    nir = jnp.asarray(rng.integers(0, 255, (b, 48, 72, 3)), jnp.float32)
+    hw = jnp.asarray(np.tile([48.0, 72.0], (b, 1)), jnp.float32)
+
+    def fn(r, n, h):
+        return detect_batch(model, variables, r, n, h, conf_thres=0.3,
+                            iou_thres=0.5, letterbox=True, max_det=20,
+                            pre_nms_topk=64, nms_backend="pallas",
+                            stem_backend="pallas")
+
+    single = jax.jit(fn)(rgb, nir, hw)
+    mesh = make_mesh(8)
+    dat = NamedSharding(mesh, P("data"))
+    sharded = jax.jit(fn, in_shardings=(dat, dat, dat), out_shardings=dat)(
+        jax.device_put(rgb, dat), jax.device_put(nir, dat),
+        jax.device_put(hw, dat))
+    for a, b_, name in zip(single, sharded, single._fields):
+        a, b_ = np.asarray(a), np.asarray(b_)
+        if a.dtype.kind in "biu":
+            np.testing.assert_array_equal(a, b_, err_msg=name)
+        else:
+            # bf16 pipeline: partitioning changes fusion order around the
+            # kernels; a few box coords move by ~1e-5 px
+            np.testing.assert_allclose(a, b_, rtol=5e-3, atol=1e-3,
+                                       err_msg=name)
+
+
 def test_sharded_serving_has_no_collectives_on_tpu_target():
     """Deviceless XLA:TPU lowering for a v5e:2x4 mesh: zero collectives.
 
