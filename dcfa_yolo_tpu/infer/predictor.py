@@ -180,9 +180,15 @@ class YOLOPredictor:
     def detect_image(self, image_rgb, image_nir):
         """Draw detections on the RGB image; returns the annotated PIL image
         (`yolo_mul.py:64-130`)."""
+        boxes, scores, labels = self.detect(image_rgb, image_nir)
+        return self.draw_detections(image_rgb, boxes, scores, labels)
+
+    def draw_detections(self, image_rgb, boxes, scores, labels):
+        """Reference-style box/label drawing (`yolo_mul.py:95-129`); split
+        from detect_image so batched callers (predict.py --batch-size) can
+        draw results produced by detect_batch."""
         from PIL import ImageDraw, ImageFont
 
-        boxes, scores, labels = self.detect(image_rgb, image_nir)
         if len(boxes) == 0:
             return image_rgb
 

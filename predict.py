@@ -7,6 +7,8 @@ import argparse
 import os
 import sys
 
+import numpy as np
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
@@ -37,6 +39,9 @@ def parse_args():
                    help="greedy-suppression backend: XLA fori-loop or the "
                         "Pallas TPU kernel (identical outputs, verified "
                         "on-chip)")
+    p.add_argument("--batch-size", type=int, default=1,
+                   help="dir_predict: device batch size (1 = per-image; >1 "
+                        "batches same-sized pairs through the fused pipeline)")
     p.add_argument("--stem-backend", default="auto", choices=["auto", "xla", "pallas"],
                    help="backbone-stem backend: XLA conv+maxpool or the fused "
                         "Pallas VMEM kernel (ops/pallas_stem.py; bf16 only)")
@@ -83,16 +88,42 @@ def main():
         os.makedirs(args.dir_save_path, exist_ok=True)
         rgb_dir = os.path.join(args.dir_origin_path, "rgb")
         nir_dir = os.path.join(args.dir_origin_path, "nir")
-        for name in sorted(os.listdir(rgb_dir)):
-            if not name.lower().endswith(
-                    (".bmp", ".jpg", ".jpeg", ".png", ".tif", ".tiff")):
-                continue
-            rgb = Image.open(os.path.join(rgb_dir, name))
-            nir = Image.open(os.path.join(nir_dir, name))
-            out = predictor.detect_image(rgb, nir)
-            out.save(os.path.join(args.dir_save_path, name), quality=95,
-                     subsampling=0)
-            print(name)
+        names = [n for n in sorted(os.listdir(rgb_dir)) if n.lower().endswith(
+            (".bmp", ".jpg", ".jpeg", ".png", ".tif", ".tiff"))]
+        if args.batch_size <= 1:
+            for name in names:
+                rgb = Image.open(os.path.join(rgb_dir, name))
+                nir = Image.open(os.path.join(nir_dir, name))
+                out = predictor.detect_image(rgb, nir)
+                out.save(os.path.join(args.dir_save_path, name), quality=95,
+                         subsampling=0)
+                print(name)
+        else:
+            # throughput path: ONE device dispatch per batch of same-sized
+            # pairs (grouped by size — the compiled program's shapes are
+            # static), results drawn per image on the host
+            from dcfa_yolo_tpu.infer.predictor import pil_to_rgb_array
+
+            groups = {}
+            for name in names:
+                rgb = Image.open(os.path.join(rgb_dir, name))
+                groups.setdefault(rgb.size, []).append(name)
+            for size, group in groups.items():
+                for i in range(0, len(group), args.batch_size):
+                    chunk = group[i:i + args.batch_size]
+                    rgbs = [Image.open(os.path.join(rgb_dir, n)) for n in chunk]
+                    nirs = [Image.open(os.path.join(nir_dir, n)) for n in chunk]
+                    # pad the ragged tail by repeating the last pair: the
+                    # compiled program has ONE static batch shape
+                    pad = args.batch_size - len(chunk)
+                    dets = predictor.detect_batch(
+                        np.stack([pil_to_rgb_array(im) for im in rgbs + [rgbs[-1]] * pad]),
+                        np.stack([pil_to_rgb_array(im) for im in nirs + [nirs[-1]] * pad]))
+                    for n, im, (boxes, scores, labels) in zip(chunk, rgbs, dets):
+                        out = predictor.draw_detections(im, boxes, scores, labels)
+                        out.save(os.path.join(args.dir_save_path, n),
+                                 quality=95, subsampling=0)
+                        print(n)
     elif args.mode == "heatmap":
         rgb, nir = load_pair(args.rgb, args.nir)
         predictor.detect_heatmap(rgb, nir, args.heatmap_save_path)
