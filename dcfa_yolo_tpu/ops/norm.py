@@ -75,7 +75,12 @@ class TorchExactBatchNorm(nn.Module):
         # train-mode normalize stays in f32: measured on the v5e this costs
         # nothing (XLA fuses the convert/normalize chain into one pass —
         # fwd_train identical to the folded form) and keeps batch-stat
-        # gradients at full precision
+        # gradients at full precision.  Re-checked for the FULL train step
+        # (fwd+bwd residuals) via deviceless v5e AOT at b16 640²
+        # (tools/train_traffic_aot.py): f32 chain 83.57 GB/step accessed vs
+        # 83.98 GB with a folded compute-dtype multiply-add — the f32
+        # intermediates never become HBM residuals, so this form is byte-free
+        # AND more precise.
         y = (x.astype(jnp.float32) - mean) * jax.lax.rsqrt(var + self.eps)
         y = y * scale + bias
         return y.astype(self.dtype)

@@ -1,0 +1,101 @@
+"""Attribute the TRAIN step's HBM traffic by op kind, deviceless for v5e.
+
+The serving side's traffic attribution (tools/hlo_traffic.py) found the
+fused stem win; this does the same for the fused train step using chipless
+XLA:TPU AOT compilation (jax.experimental.topologies), so it runs with zero
+chips.  Informs whether a differentiable fused stem / other byte cuts are
+worth building for training.
+
+Usage: python tools/train_traffic_aot.py [batch] [size]   (defaults 16, 640)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+from collections import defaultdict
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+from tools.hlo_traffic import shape_bytes  # noqa: E402
+
+
+def main():
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 16
+    size = int(sys.argv[2]) if len(sys.argv) > 2 else 640
+
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    from jax.experimental import topologies
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from dcfa_yolo_tpu.config import ModelConfig, TrainConfig
+    from dcfa_yolo_tpu.models.yolo import DCFAYolo, init_model
+    from dcfa_yolo_tpu.train.ema import init_ema
+    from dcfa_yolo_tpu.train.loss import YoloLoss
+    from dcfa_yolo_tpu.train.optim import build_optimizer
+    from dcfa_yolo_tpu.train.trainer import Batch, TrainState, make_train_step
+
+    cfg = ModelConfig(num_classes=1, phi="n", input_shape=(size, size),
+                      compute_dtype="bfloat16")
+    model, variables = init_model(cfg, jax.random.PRNGKey(0))
+    tcfg = TrainConfig()
+    criterion = YoloLoss(cfg)
+    tx = build_optimizer(tcfg, variables["params"])
+    opt_state = tx.init(variables["params"])
+    state = TrainState(variables["params"], variables["batch_stats"],
+                       opt_state, init_ema(variables))
+    step = make_train_step(model, criterion, tx, tcfg)
+
+    topo = topologies.get_topology_desc("v5e:2x2", "tpu")
+    mesh = Mesh(np.array(topo.devices[:1]), ("d",))
+    shr = NamedSharding(mesh, P())
+
+    state_s = jax.tree_util.tree_map(
+        lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype, sharding=shr), state)
+    batch_s = Batch(
+        rgb=jax.ShapeDtypeStruct((batch, size, size, 3), jnp.float32, sharding=shr),
+        nir=jax.ShapeDtypeStruct((batch, size, size, 3), jnp.float32, sharding=shr),
+        gt_boxes=jax.ShapeDtypeStruct((batch, 64, 4), jnp.float32, sharding=shr),
+        gt_labels=jax.ShapeDtypeStruct((batch, 64), jnp.int32, sharding=shr),
+        gt_mask=jax.ShapeDtypeStruct((batch, 64), jnp.bool_, sharding=shr),
+    )
+    lr_s = jax.ShapeDtypeStruct((), jnp.float32, sharding=shr)
+
+    comp = jax.jit(step).lower(state_s, batch_s, lr_s).compile()
+    ca = comp.cost_analysis()
+    print(f"train step b{batch} {size}^2 bf16 (v5e AOT): "
+          f"{ca['bytes accessed'] / 1e9:.2f} GB/step accessed, "
+          f"{ca['flops'] / 1e9:.0f} GFLOP", flush=True)
+
+    hlo = comp.as_text()
+    by_kind = defaultdict(int)
+    singles = []
+    for line in hlo.splitlines():
+        t = line.strip()
+        if "=" not in t or not t.startswith("%"):
+            continue
+        lhs, rhs = t.split("=", 1)
+        rhs = rhs.strip()
+        head = rhs.split("(")[0].split()
+        op = head[-1].split(".")[0] if "(" in rhs and head else ""
+        shape_txt = rhs.split(" ")[0]
+        b = shape_bytes(shape_txt)
+        if b and op:
+            by_kind[op] += b
+            singles.append((b, t[:150]))
+    total = sum(by_kind.values())
+    print(f"\ntotal output bytes (all ops incl. fusion bodies): {total/1e9:.2f} GB")
+    print("\nby op kind (output bytes):")
+    for k, v in sorted(by_kind.items(), key=lambda kv: -kv[1])[:16]:
+        print(f"  {k:28s} {v/1e9:8.3f} GB  ({100*v/total:5.1f}%)")
+    print("\ntop single ops:")
+    for b, t in sorted(singles, key=lambda x: -x[0])[:14]:
+        print(f"  {b/1e6:9.1f} MB  {t}")
+
+
+if __name__ == "__main__":
+    main()
