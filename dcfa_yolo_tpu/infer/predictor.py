@@ -280,8 +280,25 @@ class YOLOPredictor:
                     confidence: Optional[float] = None) -> None:
         """Write `detection-results/{id}.txt` lines `cls score x1 y1 x2 y2`
         (`yolo_mul.py:213-257`)."""
-        os.makedirs(os.path.join(map_out_path, "detection-results"), exist_ok=True)
         boxes, scores, labels = self.detect(image_rgb, image_nir, confidence=confidence)
+        self._write_map_txt(image_id, boxes, scores, labels, class_names,
+                            map_out_path)
+
+    def get_map_txt_batch(self, image_ids: Sequence[str], rgb_images,
+                          nir_images, class_names: Sequence[str],
+                          map_out_path: str,
+                          confidence: Optional[float] = None) -> None:
+        """Batched `get_map_txt`: one device dispatch for a stack of
+        SAME-SIZED pairs, identical txt outputs (the eval protocol is about
+        conf/NMS parameters and the txt format, not the dispatch shape)."""
+        dets = self.detect_batch(rgb_images, nir_images, confidence=confidence)
+        for image_id, (boxes, scores, labels) in zip(image_ids, dets):
+            self._write_map_txt(image_id, boxes, scores, labels, class_names,
+                                map_out_path)
+
+    def _write_map_txt(self, image_id, boxes, scores, labels, class_names,
+                       map_out_path) -> None:
+        os.makedirs(os.path.join(map_out_path, "detection-results"), exist_ok=True)
         with open(os.path.join(map_out_path, "detection-results", image_id + ".txt"),
                   "w", encoding="utf-8") as f:
             for box, score, c in zip(boxes, scores, labels):

@@ -83,6 +83,7 @@ class EvalCallback:
         min_overlap: float = 0.5,
         eval_flag: bool = True,
         period: int = 1,
+        batch_size: int = 1,
     ):
         self.predictor_factory = predictor_factory
         self.class_names = list(class_names)
@@ -95,6 +96,10 @@ class EvalCallback:
         self.min_overlap = min_overlap
         self.eval_flag = eval_flag
         self.period = period
+        # >1 = batch same-sized val pairs through ONE fused-pipeline dispatch
+        # per group (identical txt outputs; the protocol is per-image only in
+        # its parameters, not its dispatch shape)
+        self.batch_size = batch_size
         self.maps: List[float] = [0.0]
         self.epoches: List[int] = [0]
         if self.eval_flag:
@@ -114,13 +119,38 @@ class EvalCallback:
                                            self.nms_iou, self.max_boxes)
         os.makedirs(os.path.join(self.map_out_path, "ground-truth"), exist_ok=True)
         os.makedirs(os.path.join(self.map_out_path, "detection-results"), exist_ok=True)
+        pending = {}  # (w, h) -> list of (image_id, rgb, nir)
+
+        def flush(group):
+            ids = [g[0] for g in group]
+            rgbs = [g[1] for g in group]
+            nirs = [g[2] for g in group]
+            pad = 0
+            if len(group) % self.batch_size:
+                # static compiled batch shape: repeat the last pair; padded
+                # results are sliced off by zip(ids, ...) below
+                pad = self.batch_size - len(group) % self.batch_size
+                rgbs = rgbs + [rgbs[-1]] * pad
+                nirs = nirs + [nirs[-1]] * pad
+            for i in range(0, len(rgbs), self.batch_size):
+                predictor.get_map_txt_batch(
+                    ids[i:i + self.batch_size],
+                    rgbs[i:i + self.batch_size],
+                    nirs[i:i + self.batch_size],
+                    self.class_names, self.map_out_path,
+                    confidence=self.confidence)
+
         for line in self.val_lines:
             parts = line.split()
             image_id = os.path.basename(parts[0]).split(".")[0]
             rgb = Image.open(parts[0])
             nir = Image.open(parts[1])
-            predictor.get_map_txt(image_id, rgb, nir, self.class_names,
-                                  self.map_out_path, confidence=self.confidence)
+            if self.batch_size > 1:
+                pending.setdefault(rgb.size, []).append((image_id, rgb, nir))
+            else:
+                predictor.get_map_txt(image_id, rgb, nir, self.class_names,
+                                      self.map_out_path,
+                                      confidence=self.confidence)
             boxes = np.array([list(map(int, b.split(","))) for b in parts[2:]]
                              ).reshape(-1, 5)
             with open(os.path.join(self.map_out_path, "ground-truth",
@@ -128,6 +158,8 @@ class EvalCallback:
                 for left, top, right, bottom, obj in boxes:
                     f.write(f"{self.class_names[int(obj)]} {left} {top} "
                             f"{right} {bottom}\n")
+        for group in pending.values():
+            flush(group)
         try:
             temp_map = get_coco_map(self.class_names, path=self.map_out_path)[1]
         except Exception:

@@ -123,3 +123,40 @@ class TestEvalCallbackVocFallback:
             (tmp_path / "detection-results" / f"{fid}.txt").write_text("".join(lines))
         m = get_map(0.5, False, path=str(tmp_path))
         assert m == pytest.approx(1.0)
+
+
+class TestEvalCallbackBatched:
+    def test_batched_eval_matches_per_image(self, tmp_path):
+        """EvalCallback(batch_size=2) must produce the same epoch mAP as the
+        per-image protocol (same txts → same score), incl. a ragged tail."""
+        import numpy as np
+        from PIL import Image
+
+        from dcfa_yolo_tpu.infer.predictor import YOLOPredictor
+        from dcfa_yolo_tpu.utils.callbacks import EvalCallback
+
+        rng = np.random.Generator(np.random.PCG64(5))
+        lines = []
+        for i in range(3):
+            rgb = Image.fromarray(rng.integers(0, 255, (96, 120, 3),
+                                               dtype=np.uint8))
+            nir = Image.fromarray(rng.integers(0, 255, (96, 120, 3),
+                                               dtype=np.uint8))
+            rp = tmp_path / f"r{i}.png"
+            np_ = tmp_path / f"n{i}.png"
+            rgb.save(rp)
+            nir.save(np_)
+            lines.append(f"{rp} {np_} 10,10,60,60,0")
+
+        predictor = YOLOPredictor(class_names=["a"], input_shape=(128, 128),
+                                  phi="n", confidence=0.01, nms_iou=0.5,
+                                  max_det=20)
+        factory = lambda variables, conf, iou, max_boxes: predictor
+        maps = {}
+        for bs in (1, 2):
+            cb = EvalCallback(factory, ["a"], lines,
+                              str(tmp_path / f"log{bs}"),
+                              map_out_path=str(tmp_path / f"map{bs}"),
+                              period=1, batch_size=bs)
+            maps[bs] = cb.on_epoch_end(1, None)
+        assert maps[1] == maps[2]

@@ -79,3 +79,20 @@ class TestPredictor:
             assert parts[0] in ("a", "b")
             float(parts[1])
             [int(x) for x in parts[2:6]]
+
+    def test_get_map_txt_batch_matches_per_image(self, predictor, tmp_path):
+        """Batched eval txt outputs must equal the per-image protocol's
+        (EvalCallback batch_size>1 relies on this)."""
+        pairs = [_pair(s) for s in (11, 12, 13)]
+        d1 = tmp_path / "per_image"
+        d2 = tmp_path / "batched"
+        for i, (rgb, nir) in enumerate(pairs):
+            predictor.get_map_txt(f"im{i}", rgb, nir, ["a", "b"], str(d1))
+        predictor.get_map_txt_batch(
+            [f"im{i}" for i in range(3)],
+            [p[0] for p in pairs], [p[1] for p in pairs],
+            ["a", "b"], str(d2))
+        for i in range(3):
+            a = (d1 / "detection-results" / f"im{i}.txt").read_text()
+            b = (d2 / "detection-results" / f"im{i}.txt").read_text()
+            assert a == b, f"im{i} differs"

@@ -79,6 +79,10 @@ def parse_args():
     p.add_argument("--max-boxes", type=int, default=64)
     p.add_argument("--save-period", type=int, default=20)
     p.add_argument("--eval-period", type=int, default=20)
+    p.add_argument("--eval-map-batch-size", type=int, default=1,
+                   help="EvalCallback device batch (>1 groups same-sized val "
+                        "pairs into one fused-pipeline dispatch; identical "
+                        "txt outputs)")
     p.add_argument("--no-eval", action="store_true")
     p.add_argument("--save-dir", default="logs")
     p.add_argument("--num-workers", type=int, default=4)
@@ -302,7 +306,8 @@ def main():
                              compute_dtype=args.compute_dtype)
 
     eval_cb = EvalCallback(predictor_factory, class_names, val_lines, log_dir,
-                           eval_flag=not args.no_eval, period=args.eval_period)
+                           eval_flag=not args.no_eval, period=args.eval_period,
+                           batch_size=args.eval_map_batch_size)
 
     init_epoch = args.init_epoch
     if resume_payload is not None:
