@@ -29,6 +29,9 @@ def parse_args():
     p.add_argument("--vocdevkit-path", default="VOCdevkit")
     p.add_argument("--map-out-path", default="map_out")
     p.add_argument("--image-set", default="test")
+    p.add_argument("--batch-size", type=int, default=1,
+                   help="device batch for the prediction pass (>1 batches "
+                        "same-sized pairs; identical txt outputs)")
     p.add_argument("--stem-backend", default="auto",
                    choices=["auto", "xla", "pallas"],
                    help="backbone-stem backend (see ops/pallas_stem.py)")
@@ -86,13 +89,38 @@ def main():
                 stem_backend=args.stem_backend)
             print(f"Get predict result (pre_nms_topk={pre_nms_topk}, "
                   f"max_det={max_det}).")
-            for image_id in image_ids:
+            def _load(image_id):
                 rgb = Image.open(os.path.join(
                     args.vocdevkit_path, "VOC2007/JPEGImages_rgb", image_id + ".png"))
                 nir = Image.open(os.path.join(
                     args.vocdevkit_path, "VOC2007/JPEGImages_nir", image_id + ".png"))
-                predictor.get_map_txt(image_id, rgb, nir, class_names,
-                                      args.map_out_path)
+                return rgb, nir
+
+            bs = args.batch_size
+            if bs <= 1:
+                for image_id in image_ids:
+                    rgb, nir = _load(image_id)
+                    predictor.get_map_txt(image_id, rgb, nir, class_names,
+                                          args.map_out_path)
+            else:
+                # one fused-pipeline dispatch per batch of same-sized pairs;
+                # byte-identical txts (predictor.get_map_txt_batch)
+                groups = {}
+                for image_id in image_ids:
+                    rgb, nir = _load(image_id)
+                    groups.setdefault(rgb.size, []).append((image_id, rgb, nir))
+                for group in groups.values():
+                    ids = [g[0] for g in group]
+                    rgbs = [g[1] for g in group]
+                    nirs = [g[2] for g in group]
+                    if len(group) % bs:
+                        pad = bs - len(group) % bs
+                        rgbs += [rgbs[-1]] * pad
+                        nirs += [nirs[-1]] * pad
+                    for i in range(0, len(rgbs), bs):
+                        predictor.get_map_txt_batch(
+                            ids[i:i + bs], rgbs[i:i + bs], nirs[i:i + bs],
+                            class_names, args.map_out_path)
             cs = predictor.cap_stats
             print(f"[caps] {cs['images']} images, max conf-candidates "
                   f"{cs['max_candidates']}, pre_nms_topk bound on "
