@@ -82,19 +82,31 @@ def main() -> None:
     size = int(os.environ.get("BENCH_SIZE", "640"))
     nms_backend = os.environ.get("BENCH_NMS", "pallas")
     stem_backend = os.environ.get("BENCH_STEM", "auto")
+    fold_shuffle = os.environ.get("BENCH_FOLD_SHUFFLE", "1") == "1"
 
     cfg = ModelConfig(num_classes=1, phi="n", input_shape=(size, size),
                       compute_dtype="bfloat16")
     _, variables = init_model(cfg, jax.random.PRNGKey(0))
     # serving configuration: the re-parameterized (RepGhost-fused) graph —
     # the reference's switch_to_deploy capability, numerically identical to
-    # the train graph (test_reparam)
-    model = DCFAYolo(cfg, deploy=True)
+    # the train graph (test_reparam) — plus channel-shuffle folding
+    # (fold_shuffle_variables: the shuffles' relayout copies become load-time
+    # weight permutations, test_fold_shuffle)
+    model = DCFAYolo(cfg, deploy=True, fold_shuffle=fold_shuffle)
     variables = jax.jit(deploy_variables)(variables)
+    if fold_shuffle:
+        from dcfa_yolo_tpu.models.reparam import fold_shuffle_variables
+
+        variables = jax.jit(fold_shuffle_variables)(variables)
 
     rng = np.random.Generator(np.random.PCG64(0))
-    rgb = jnp.asarray(rng.integers(0, 255, (batch, 480, 602, 3)), jnp.float32)
-    nir = jnp.asarray(rng.integers(0, 255, (batch, 480, 602, 3)), jnp.float32)
+    # uint8 inputs: what the product path feeds (predictor passes PIL-decoded
+    # uint8 straight to the device; the /255 happens on-chip) — f32 feed
+    # (BENCH_IN_DTYPE=f32) measured +6.3 MB/pair of HBM and 4x the H2D bytes
+    in_dtype = (jnp.float32 if os.environ.get("BENCH_IN_DTYPE", "u8") == "f32"
+                else jnp.uint8)
+    rgb = jnp.asarray(rng.integers(0, 255, (batch, 480, 602, 3)), in_dtype)
+    nir = jnp.asarray(rng.integers(0, 255, (batch, 480, 602, 3)), in_dtype)
     image_hw = jnp.asarray(np.tile([480.0, 602.0], (batch, 1)), jnp.float32)
 
     def fn(r, n):

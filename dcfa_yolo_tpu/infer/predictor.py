@@ -63,6 +63,7 @@ class YOLOPredictor:
         deploy: bool = False,
         nms_backend: str = "auto",
         stem_backend: str = "auto",
+        fold_shuffle: bool = False,
     ):
         if class_names is None:
             if classes_path is None:
@@ -90,10 +91,11 @@ class YOLOPredictor:
         self.cfg = ModelConfig(
             num_classes=self.num_classes, phi=phi,
             input_shape=tuple(input_shape), compute_dtype=compute_dtype)
-        self.model = DCFAYolo(self.cfg, deploy=deploy)
+        self.model = DCFAYolo(self.cfg, deploy=deploy, fold_shuffle=fold_shuffle)
         if variables is not None:
             # caller-supplied variables must match the chosen graph (deploy
-            # callers pass the output of deploy_variables)
+            # callers pass the output of deploy_variables; fold_shuffle callers
+            # the output of fold_shuffle_variables)
             self.variables = variables
         else:
             # checkpoints live in the TRAIN-graph key space (the reference
@@ -109,6 +111,10 @@ class YOLOPredictor:
                 from dcfa_yolo_tpu.models.reparam import deploy_variables
 
                 template = jax.jit(deploy_variables)(template)
+            if fold_shuffle:
+                from dcfa_yolo_tpu.models.reparam import fold_shuffle_variables
+
+                template = jax.jit(fold_shuffle_variables)(template)
             self.variables = template
 
         hsv = [(x / self.num_classes, 1.0, 1.0) for x in range(self.num_classes)]

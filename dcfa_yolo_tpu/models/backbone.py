@@ -17,6 +17,7 @@ class Backbone(nn.Module):
 
     base_channels: int
     deep_channels: int
+    fold_shuffle: bool = False  # serving graph with channel_shuffles removed
     axis_name: Optional[str] = None
     dtype: Any = jnp.float32
 
@@ -26,6 +27,7 @@ class Backbone(nn.Module):
                  ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
         bc = self.base_channels
         kw = dict(axis_name=self.axis_name, dtype=self.dtype)
+        skw = dict(skip_shuffle=self.fold_shuffle, **kw)
 
         if stem_out is not None:
             # serving fast path: the fused Pallas stem (ops/pallas_stem.py)
@@ -36,18 +38,18 @@ class Backbone(nn.Module):
             x = ConvMaxpool(bc, name="stem", **kw)(x, train=train)
 
         x = ConvBnAct(bc * 2, 3, 2, name="dark2_conv", **kw)(x, train=train)
-        x = ShuffleNetV2Block(bc * 2, stride=1, name="dark2_shuffle", **kw)(x, train=train)
+        x = ShuffleNetV2Block(bc * 2, stride=1, name="dark2_shuffle", **skw)(x, train=train)
 
         x = ConvBnAct(bc * 4, 3, 2, name="dark3_conv", **kw)(x, train=train)
-        x = ShuffleNetV2Block(bc * 4, stride=1, name="dark3_shuffle", **kw)(x, train=train)
+        x = ShuffleNetV2Block(bc * 4, stride=1, name="dark3_shuffle", **skw)(x, train=train)
         feat1 = x
 
         x = ConvBnAct(bc * 8, 3, 2, name="dark4_conv", **kw)(x, train=train)
-        x = ShuffleNetV2Block(bc * 8, stride=1, name="dark4_shuffle", **kw)(x, train=train)
+        x = ShuffleNetV2Block(bc * 8, stride=1, name="dark4_shuffle", **skw)(x, train=train)
         feat2 = x
 
         x = ConvBnAct(self.deep_channels, 3, 2, name="dark5_conv", **kw)(x, train=train)
-        x = ShuffleNetV2Block(self.deep_channels, stride=1, name="dark5_shuffle", **kw)(
+        x = ShuffleNetV2Block(self.deep_channels, stride=1, name="dark5_shuffle", **skw)(
             x, train=train)
         x = SPPFCBAM(self.deep_channels, pool_kernel=5, name="dark5_sppf", **kw)(
             x, train=train)

@@ -101,10 +101,17 @@ class ShuffleNetV2Block(nn.Module):
     stride=1: channel split, identity ∥ (1x1 → 3x3 dw → 1x1), concat, shuffle.
     Quirk kept: the depthwise convs have bias=True (torch default at lines 130/144)
     while the 1x1 convs are bias-free.
+
+    skip_shuffle: serving-time graph with the final channel_shuffle REMOVED —
+    the shuffle is a fixed channel permutation, so `reparam.fold_shuffle_variables`
+    absorbs it into every consumer's input-channel axis instead (the shuffle's
+    transpose is a pure relayout copy on TPU, bytes for nothing).  Only valid
+    with correspondingly permuted downstream weights.
     """
 
     features: int
     stride: int = 1
+    skip_shuffle: bool = False
     axis_name: Optional[str] = None
     dtype: Any = jnp.float32
 
@@ -139,6 +146,8 @@ class ShuffleNetV2Block(nn.Module):
                             name="b1_conv2")(b1)
             b1 = nn.relu(bn("b1_bn2")(b1, use_running_average=ura))
             out = jnp.concatenate([b1, branch2(x)], axis=-1)
+        if self.skip_shuffle:
+            return out
         return channel_shuffle(out, 2)
 
 

@@ -17,6 +17,7 @@ from __future__ import annotations
 from typing import Any, Dict, Tuple
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 _BN_EPS = 1e-5  # RepGhost BNs use the torch default (`nets/repghost.py:100`)
@@ -76,6 +77,96 @@ def _walk(params: Any, stats: Any) -> Tuple[Any, Any]:
         if k not in new_s and k not in params:
             new_s[k] = stats[k]
     return new_p, new_s
+
+
+def _shuffle_inv_perm(c: int) -> np.ndarray:
+    """Inverse of `channel_shuffle(·, groups=2)` as an index array.
+
+    shuffle emits y[j] = z[(j % 2)·c/2 + j//2]; a consumer of y re-indexed to
+    consume the UNSHUFFLED z needs its input-channel rows taken at
+    inv[i] = 2i (i < c/2) else 2(i − c/2) + 1, the inverse permutation.
+    """
+    half = c // 2
+    inv = np.empty(c, np.int64)
+    inv[:half] = 2 * np.arange(half)
+    inv[half:] = 2 * np.arange(half) + 1
+    return inv
+
+
+def fold_shuffle_variables(variables):
+    """Absorb the backbones' channel_shuffles into downstream weights.
+
+    Pair with `DCFAYolo(cfg, ..., fold_shuffle=True)`, whose ShuffleNetV2
+    blocks skip their final `channel_shuffle` (`nets/yolo_mul.py:164-168`): the
+    shuffle is a fixed permutation, so instead of paying a relayout copy per
+    block per image on TPU, permute once at load time:
+
+      * dark{3,4,5}_conv and dark5_sppf.cv1 conv kernels: input-channel rows
+        taken at the inverse permutation (they consume the previous block's
+        shuffled output);
+      * the feat1/feat2 tap CBAMs: channel-attention fc1 input rows and fc2
+        output rows (spatial attention is channel-order invariant);
+      * the neck's conv3_for_upsample{1,2}.cv1 kernels: the feat segments of
+        their concatenated input ((p_up, feat_rgb, feat_nir) — the reference
+        neck wiring at `nets/yolo_mul.py:428-443`), leaving the p_up rows.
+
+    feat3 is tapped AFTER SPPF-CBAM (which absorbs dark5's shuffle at cv1), so
+    nothing downstream of feat3 changes.  Works on train-template or
+    deploy-fused variables (disjoint subtrees).  Numerics: exact up to
+    floating-point summation order inside the convs (input-channel reduction
+    order changes), pinned by tests/test_fold_shuffle.py.
+    """
+    import flax
+
+    var_dict = flax.core.unfreeze(variables) if hasattr(variables, "unfreeze") else dict(variables)
+    params = jax.tree_util.tree_map(lambda a: a, var_dict["params"])  # copy leaves' container
+
+    def take(arr, idx, axis):
+        return jnp.take(arr, jnp.asarray(idx), axis=axis)
+
+    for bk in ("backbone_rgb", "backbone_nir"):
+        b = dict(params[bk])
+        for consumer in ("dark3_conv", "dark4_conv", "dark5_conv"):
+            node = dict(b[consumer]); conv = dict(node["conv"])
+            k = conv["kernel"]
+            conv["kernel"] = take(k, _shuffle_inv_perm(k.shape[2]), 2)
+            node["conv"] = conv; b[consumer] = node
+        sppf = dict(b["dark5_sppf"]); cv1 = dict(sppf["cv1"]); conv = dict(cv1["conv"])
+        k = conv["kernel"]
+        conv["kernel"] = take(k, _shuffle_inv_perm(k.shape[2]), 2)
+        cv1["conv"] = conv; sppf["cv1"] = cv1; b["dark5_sppf"] = sppf
+        params[bk] = b
+
+    for tap in ("feat1", "feat2"):
+        for mod in ("rgb", "nir"):
+            cb = dict(params[f"cbam_{mod}_{tap}"])
+            ca = dict(cb["channelattention"])
+            fc1 = dict(ca["fc1"]); fc2 = dict(ca["fc2"])
+            inv = _shuffle_inv_perm(fc1["kernel"].shape[2])
+            fc1["kernel"] = take(fc1["kernel"], inv, 2)
+            fc2["kernel"] = take(fc2["kernel"], inv, 3)
+            ca["fc1"], ca["fc2"] = fc1, fc2
+            cb["channelattention"] = ca
+            params[f"cbam_{mod}_{tap}"] = cb
+
+    # neck cv1s: concat is (p_up | feat_rgb | feat_nir); feat channel count
+    # read from the matching dark conv that consumes the same tap
+    for neck, featc in (("conv3_for_upsample2",
+                         params["backbone_rgb"]["dark4_conv"]["conv"]["kernel"].shape[2]),
+                        ("conv3_for_upsample1",
+                         params["backbone_rgb"]["dark5_conv"]["conv"]["kernel"].shape[2])):
+        node = dict(params[neck]); cv1 = dict(node["cv1"]); conv = dict(cv1["conv"])
+        k = conv["kernel"]
+        ctot = k.shape[2]
+        pc = ctot - 2 * featc
+        inv = _shuffle_inv_perm(featc)
+        rows = np.concatenate([np.arange(pc), pc + inv, pc + featc + inv])
+        conv["kernel"] = take(k, rows, 2)
+        cv1["conv"] = conv; node["cv1"] = cv1; params[neck] = node
+
+    out = dict(var_dict)
+    out["params"] = params
+    return out
 
 
 def deploy_variables(variables):

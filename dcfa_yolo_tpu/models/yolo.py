@@ -46,6 +46,11 @@ class DCFAYolo(nn.Module):
 
     cfg: ModelConfig
     deploy: bool = False
+    # Serving graph with the backbones' channel_shuffles removed; pair with
+    # `reparam.fold_shuffle_variables` (which permutes every consumer's
+    # input-channel rows to compensate).  The shuffle is a pure permutation,
+    # so on TPU it lowers to a relayout copy — HBM bytes for zero math.
+    fold_shuffle: bool = False
     axis_name: Optional[str] = None
 
     @nn.compact
@@ -67,9 +72,10 @@ class DCFAYolo(nn.Module):
         Bk = (nn.remat(Backbone, static_argnums=(2,)) if cfg.remat and train
               else Backbone)
         stem_rgb, stem_nir = stem_outs if stem_outs is not None else (None, None)
-        feat1_rgb, feat2_rgb, feat3_rgb = Bk(bc, deep, name="backbone_rgb", **kw)(
+        bkw = dict(fold_shuffle=self.fold_shuffle, **kw)
+        feat1_rgb, feat2_rgb, feat3_rgb = Bk(bc, deep, name="backbone_rgb", **bkw)(
             rgb, train, stem_rgb)
-        feat1_nir, feat2_nir, feat3_nir = Bk(bc, deep, name="backbone_nir", **kw)(
+        feat1_nir, feat2_nir, feat3_nir = Bk(bc, deep, name="backbone_nir", **bkw)(
             nir, train, stem_nir)
 
         # Per-level, per-modality CBAM before fusion (`nets/yolo_mul.py:346-353`).

@@ -35,6 +35,9 @@ def parse_args():
     p.add_argument("--stem-backend", default="auto",
                    choices=["auto", "xla", "pallas"],
                    help="backbone-stem backend (see ops/pallas_stem.py)")
+    p.add_argument("--fold-shuffle", action="store_true",
+                   help="serve with channel_shuffles folded into downstream "
+                        "weights (reparam.fold_shuffle_variables)")
     p.add_argument("--compute-dtype", default="bfloat16")
     p.add_argument("--max-det", type=int, default=300,
                    help="per-image NMS survivor cap. The reference CLI is "
@@ -86,7 +89,8 @@ def main():
                 confidence=args.confidence, nms_iou=args.nms_iou,
                 compute_dtype=args.compute_dtype, max_det=max_det,
                 pre_nms_topk=pre_nms_topk,
-                stem_backend=args.stem_backend)
+                stem_backend=args.stem_backend,
+                fold_shuffle=args.fold_shuffle)
             print(f"Get predict result (pre_nms_topk={pre_nms_topk}, "
                   f"max_det={max_det}).")
             def _load(image_id):

@@ -45,6 +45,10 @@ def parse_args():
     p.add_argument("--stem-backend", default="auto", choices=["auto", "xla", "pallas"],
                    help="backbone-stem backend: XLA conv+maxpool or the fused "
                         "Pallas VMEM kernel (ops/pallas_stem.py; bf16 only)")
+    p.add_argument("--fold-shuffle", action="store_true",
+                   help="serve with channel_shuffles folded into downstream "
+                        "weights (reparam.fold_shuffle_variables; exact up to "
+                        "FP summation order)")
     return p.parse_args()
 
 
@@ -65,7 +69,8 @@ def main():
         input_shape=tuple(args.input_shape), phi=args.phi,
         confidence=args.confidence, nms_iou=args.nms_iou,
         compute_dtype=args.compute_dtype, deploy=args.deploy,
-        nms_backend=args.nms_backend, stem_backend=args.stem_backend)
+        nms_backend=args.nms_backend, stem_backend=args.stem_backend,
+        fold_shuffle=args.fold_shuffle)
     # deploy=True re-parameterizes inside the predictor (train-graph
     # checkpoint -> fused serving weights); no external transform needed
 
