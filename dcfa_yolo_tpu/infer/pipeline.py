@@ -47,13 +47,21 @@ def _stem_backend_resolve(stem_backend: str, cfg: ModelConfig) -> bool:
     return False
 
 
-def _pallas_stem_outs(variables, rgb, nir, in_hw, letterbox: bool):
+def _pallas_stem_outs(variables, rgb, nir, in_hw, letterbox: bool,
+                      interpret=None):
     """Letterbox to the kernel's channels-first zero-bordered contract and run
-    the fused stem for both modalities.  Returns NHWC /2-pooled maps."""
+    the fused stem for both modalities.  Returns NHWC /2-pooled maps.
+
+    interpret=None uses Pallas interpret mode unless the DEFAULT backend is
+    TPU.  That heuristic is wrong for deviceless XLA:TPU AOT compiles
+    (jax.experimental.topologies with a cpu default backend) — those must pass
+    interpret=False explicitly or they silently lower the interpret-mode
+    emulation instead of the Mosaic kernel (tools/serve_traffic_aot.py does)."""
     from dcfa_yolo_tpu.ops.pallas_stem import fold_stem_params, pallas_stem
     from dcfa_yolo_tpu.ops.resize import letterbox_batch_cf, resize_bicubic
 
-    interpret = jax.default_backend() != "tpu"
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
     outs = []
     for img, bk in ((rgb, "backbone_rgb"), (nir, "backbone_nir")):
         if img.shape[1:3] != tuple(in_hw):
@@ -93,6 +101,7 @@ def detect_batch(
     pre_nms_topk: int = 1024,
     nms_backend: str = "auto",
     stem_backend: str = "auto",
+    stem_interpret=None,
 ) -> NMSResult:
     """Full pipeline on preprocessed-size uint8/float inputs.
 
@@ -106,7 +115,8 @@ def detect_batch(
     cfg = model.cfg
     in_hw = cfg.input_shape
     if _stem_backend_resolve(stem_backend, cfg):
-        stem_outs = _pallas_stem_outs(variables, rgb, nir, in_hw, letterbox)
+        stem_outs = _pallas_stem_outs(variables, rgb, nir, in_hw, letterbox,
+                                      interpret=stem_interpret)
         b = rgb.shape[0]
         dummy = jnp.zeros((b, 2, 2, 3), jnp.float32)
         out = model.apply(variables, dummy, dummy, train=False,
