@@ -32,7 +32,7 @@ import numpy as np
 
 
 def build_exported(variables, cfg, batch: int, conf: float, nms_iou: float,
-                   max_det: int = 300):
+                   max_det: int = 300, fold_shuffle: bool = False):
     """Export detect_batch (deploy graph, weights as constants) for
     (B,H,W,3)xu8 pairs at the model input size.  Returns jax.export.Exported."""
     import jax
@@ -50,8 +50,12 @@ def build_exported(variables, cfg, batch: int, conf: float, nms_iou: float,
     except ValueError:
         pass  # already registered in this process
 
-    model = DCFAYolo(cfg, deploy=True)
+    model = DCFAYolo(cfg, deploy=True, fold_shuffle=fold_shuffle)
     dvars = jax.jit(deploy_variables)(variables)
+    if fold_shuffle:
+        from dcfa_yolo_tpu.models.reparam import fold_shuffle_variables
+
+        dvars = jax.jit(fold_shuffle_variables)(dvars)
 
     def serve(rgb, nir, image_hw):
         return detect_batch(model, dvars, rgb, nir, image_hw,
@@ -76,6 +80,9 @@ def main():
     ap.add_argument("--size", type=int, default=640)
     ap.add_argument("--conf", type=float, default=0.5)
     ap.add_argument("--nms-iou", type=float, default=0.3)
+    ap.add_argument("--fold-shuffle", action="store_true",
+                    help="bake in channel-shuffle folding (fewer relayout "
+                         "copies in the artifact; exact up to FP sum order)")
     args = ap.parse_args()
 
     from dcfa_yolo_tpu.utils.jaxcache import enable_persistent_cache
@@ -102,7 +109,7 @@ def main():
         variables = load_variables(args.model_path, variables)
 
     exported = build_exported(variables, cfg, args.batch, args.conf,
-                              args.nms_iou)
+                              args.nms_iou, fold_shuffle=args.fold_shuffle)
     blob = exported.serialize()
 
     # roundtrip check: artifact output == in-process pipeline output
