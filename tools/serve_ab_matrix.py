@@ -1,0 +1,89 @@
+"""On-chip A/B matrix for the serving pipeline: {stem xla|pallas} x {fold} x
+{batch sizes}, chained-dependency timing, bench.py's exact configuration.
+
+One command produces every number needed to decide the serving defaults
+('auto' stem backend flip in infer/pipeline._stem_backend_resolve, fold
+default): run AFTER deviceless byte attribution (tools/serve_traffic_aot.py)
+predicts a win.  Deviceless prediction this round (MB/pair accessed, u8 in):
+b128 xla 329.7 / pallas 260.6 / pallas+fold 244.8; b1 xla 2072.7 / pallas
+845.5 / pallas+fold 765.5.
+
+Usage: python tools/serve_ab_matrix.py [batches...]   (default: 128 1)
+Env: AB_ITERS (default 20)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from dcfa_yolo_tpu.utils.jaxcache import enable_persistent_cache
+
+enable_persistent_cache()
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def time_config(batch: int, stem: str, fold: bool, iters: int) -> float:
+    from dcfa_yolo_tpu.config import ModelConfig
+    from dcfa_yolo_tpu.infer.pipeline import detect_batch
+    from dcfa_yolo_tpu.models.reparam import deploy_variables, fold_shuffle_variables
+    from dcfa_yolo_tpu.models.yolo import DCFAYolo, init_model
+
+    cfg = ModelConfig(num_classes=1, phi="n", input_shape=(640, 640),
+                      compute_dtype="bfloat16")
+    _, variables = init_model(cfg, jax.random.PRNGKey(0))
+    model = DCFAYolo(cfg, deploy=True, fold_shuffle=fold)
+    variables = jax.jit(deploy_variables)(variables)
+    if fold:
+        variables = jax.jit(fold_shuffle_variables)(variables)
+
+    rng = np.random.Generator(np.random.PCG64(0))
+    rgb = jnp.asarray(rng.integers(0, 255, (batch, 480, 602, 3)), jnp.uint8)
+    nir = jnp.asarray(rng.integers(0, 255, (batch, 480, 602, 3)), jnp.uint8)
+    image_hw = jnp.asarray(np.tile([480.0, 602.0], (batch, 1)), jnp.float32)
+
+    fn = jax.jit(lambda r, n: detect_batch(
+        model, variables, r, n, image_hw, conf_thres=0.5, iou_thres=0.3,
+        letterbox=True, max_det=300, pre_nms_topk=512,
+        nms_backend="pallas", stem_backend=stem))
+
+    # chained timing on integer images: bump one pixel by the (0/1) parity of
+    # the max score bit pattern so each iteration depends on the previous one
+    def step(x):
+        r, n = x
+        res = fn(r, n)
+        bump = (jnp.max(res.scores) > 2.0).astype(jnp.uint8)  # always 0
+        return (r + bump, n + bump)
+
+    step = jax.jit(step, donate_argnums=(0,))
+    z = (rgb, nir)
+    for _ in range(12):
+        z = step(z)
+    np.asarray(jax.device_get(z[0][0, 0, 0, :1]))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        z = step(z)
+    np.asarray(jax.device_get(z[0][0, 0, 0, :1]))
+    return (time.perf_counter() - t0) / iters
+
+
+def main():
+    batches = [int(a) for a in sys.argv[1:]] or [128, 1]
+    iters = int(os.environ.get("AB_ITERS", "20"))
+    print(f"device: {jax.devices()[0].device_kind}", flush=True)
+    for batch in batches:
+        for stem in ("xla", "pallas"):
+            for fold in (False, True):
+                dt = time_config(batch, stem, fold, iters)
+                print(f"b{batch:<4d} stem={stem:6s} fold={int(fold)}: "
+                      f"{dt*1e3/batch:7.3f} ms/pair  {batch/dt:8.1f} pairs/s",
+                      flush=True)
+
+
+if __name__ == "__main__":
+    main()
