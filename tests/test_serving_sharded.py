@@ -72,14 +72,21 @@ def test_sharded_serving_matches_single_device(setup):
                                        err_msg=name)
 
 
-def test_sharded_serving_pallas_backends(setup):
+@pytest.mark.parametrize("fold", [False, True], ids=["nofold", "fold"])
+def test_sharded_serving_pallas_backends(setup, fold):
     """Mosaic custom-calls cannot be auto-partitioned; the custom_partitioning
     wrappers (ops/pallas_nms.py, ops/pallas_stem.py) declare the kernels
     batch-parallel.  A batch-sharded pipeline with BOTH Pallas backends forced
-    must run and match the single-device result."""
+    (and, parametrized, channel-shuffle folding on top) must run and match
+    the single-device result."""
     cfg = ModelConfig(num_classes=2, phi="n", input_shape=(64, 64),
                       compute_dtype="bfloat16")
     model, variables = init_model(cfg, jax.random.PRNGKey(0))
+    if fold:
+        from dcfa_yolo_tpu.models.reparam import fold_shuffle_variables
+
+        model = DCFAYolo(cfg, fold_shuffle=True)
+        variables = fold_shuffle_variables(variables)
     rng = np.random.Generator(np.random.PCG64(7))
     b = 8
     rgb = jnp.asarray(rng.integers(0, 255, (b, 48, 72, 3)), jnp.float32)
