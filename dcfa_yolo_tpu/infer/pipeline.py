@@ -62,8 +62,27 @@ def _pallas_stem_outs(variables, rgb, nir, in_hw, letterbox: bool,
 
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+
+    def stem_params(bk, mod):
+        if bk is not None:
+            p = variables["params"][bk]["stem"]
+            s = variables["batch_stats"][bk]["stem"]
+            return (p["conv"]["kernel"], p["bn"]["scale"], p["bn"]["bias"],
+                    s["bn"]["mean"], s["bn"]["var"])
+        # paired variables (models/pairing.py): the stem kernel is
+        # block-diagonal (3,3,6,2c) in blocked layout — slice the modality out
+        p = variables["params"]["backbone_pair"]["stem"]
+        s = variables["batch_stats"]["backbone_pair"]["stem"]
+        k = p["conv"]["kernel"]
+        c = k.shape[-1] // 2
+        ci, co = (slice(0, 3), slice(0, c)) if mod == 0 else (
+            slice(3, 6), slice(c, 2 * c))
+        return (k[:, :, ci, co], p["bn"]["scale"][co], p["bn"]["bias"][co],
+                s["bn"]["mean"][co], s["bn"]["var"][co])
+
+    paired = "backbone_pair" in variables["params"]
     outs = []
-    for img, bk in ((rgb, "backbone_rgb"), (nir, "backbone_nir")):
+    for img, bk, mod in ((rgb, "backbone_rgb", 0), (nir, "backbone_nir", 1)):
         if img.shape[1:3] != tuple(in_hw):
             if letterbox:
                 x_cf = letterbox_batch_cf(img, in_hw)
@@ -76,11 +95,8 @@ def _pallas_stem_outs(variables, rgb, nir, in_hw, letterbox: bool,
             x_cf = jnp.pad(
                 jnp.transpose(img.astype(jnp.float32), (0, 3, 1, 2)),
                 ((0, 0), (0, 0), (1, 1), (1, 1)))
-        p = variables["params"][bk]["stem"]
-        s = variables["batch_stats"][bk]["stem"]
         wd, bias = fold_stem_params(
-            p["conv"]["kernel"], p["bn"]["scale"], p["bn"]["bias"],
-            s["bn"]["mean"], s["bn"]["var"])
+            *stem_params(None if paired else bk, mod))
         so = pallas_stem(x_cf.astype(jnp.bfloat16), wd, bias,
                          interpret=interpret)
         outs.append(jnp.transpose(so, (0, 1, 3, 2)))  # → NHWC

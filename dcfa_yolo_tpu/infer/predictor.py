@@ -64,6 +64,7 @@ class YOLOPredictor:
         nms_backend: str = "auto",
         stem_backend: str = "auto",
         fold_shuffle: bool = False,
+        pair_backbones: bool = False,
     ):
         if class_names is None:
             if classes_path is None:
@@ -88,10 +89,13 @@ class YOLOPredictor:
         # ops/pallas_stem.py); 'auto' is resolved by the pipeline
         self.stem_backend = stem_backend
 
+        if pair_backbones and not fold_shuffle:
+            raise ValueError("pair_backbones requires fold_shuffle=True")
         self.cfg = ModelConfig(
             num_classes=self.num_classes, phi=phi,
             input_shape=tuple(input_shape), compute_dtype=compute_dtype)
-        self.model = DCFAYolo(self.cfg, deploy=deploy, fold_shuffle=fold_shuffle)
+        self.model = DCFAYolo(self.cfg, deploy=deploy, fold_shuffle=fold_shuffle,
+                              pair_backbones=pair_backbones)
         if variables is not None:
             # caller-supplied variables must match the chosen graph (deploy
             # callers pass the output of deploy_variables; fold_shuffle callers
@@ -115,6 +119,10 @@ class YOLOPredictor:
                 from dcfa_yolo_tpu.models.reparam import fold_shuffle_variables
 
                 template = jax.jit(fold_shuffle_variables)(template)
+            if pair_backbones:
+                from dcfa_yolo_tpu.models.pairing import pair_backbone_variables
+
+                template = jax.jit(pair_backbone_variables)(template)
             self.variables = template
 
         hsv = [(x / self.num_classes, 1.0, 1.0) for x in range(self.num_classes)]

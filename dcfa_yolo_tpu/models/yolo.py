@@ -51,6 +51,13 @@ class DCFAYolo(nn.Module):
     # input-channel rows to compensate).  The shuffle is a pure permutation,
     # so on TPU it lowers to a relayout copy — HBM bytes for zero math.
     fold_shuffle: bool = False
+    # Serving graph with BOTH backbones fused into one doubled-channel stream
+    # (block-diagonal kernels; models/pairing.py).  Small-batch serving
+    # option: full-pipeline −10% bytes / −41% backbone kernel launches at
+    # batch 1, measured deviceless for v5e; LOSES at batch 128 (296 vs 245
+    # MB/pair — the block-diagonal kernels add FLOPs).  Requires fold_shuffle
+    # and variables from `pairing.pair_backbone_variables`; eval graph only.
+    pair_backbones: bool = False
     axis_name: Optional[str] = None
 
     @nn.compact
@@ -65,57 +72,111 @@ class DCFAYolo(nn.Module):
         rgb = rgb.astype(dtype)
         nir = nir.astype(dtype)
 
-        # Optionally rematerialize the backbones (the full-resolution stem/dark
-        # activations dominate train-time memory; the pyramid taps are tiny).
-        # static_argnums=(2,): arg 0 is the module instance under nn.remat,
-        # arg 2 is the python-bool train flag.
-        Bk = (nn.remat(Backbone, static_argnums=(2,)) if cfg.remat and train
-              else Backbone)
-        stem_rgb, stem_nir = stem_outs if stem_outs is not None else (None, None)
-        bkw = dict(fold_shuffle=self.fold_shuffle, **kw)
-        feat1_rgb, feat2_rgb, feat3_rgb = Bk(bc, deep, name="backbone_rgb", **bkw)(
-            rgb, train, stem_rgb)
-        feat1_nir, feat2_nir, feat3_nir = Bk(bc, deep, name="backbone_nir", **bkw)(
-            nir, train, stem_nir)
+        if self.pair_backbones:
+            # Serving-only paired stream (models/pairing.py): both backbones
+            # as one doubled-channel graph with block-diagonal weights.
+            if train:
+                raise ValueError("pair_backbones is a serving-only graph")
+            if not self.fold_shuffle:
+                raise ValueError("pair_backbones requires fold_shuffle=True "
+                                 "(pair_backbone_variables folds on top of "
+                                 "fold_shuffle_variables)")
+            from dcfa_yolo_tpu.models.pairing import (
+                PairedBackbone, PairedCBAM, PairedConcatBiFPN, pair_layout)
 
-        # Per-level, per-modality CBAM before fusion (`nets/yolo_mul.py:346-353`).
-        feat1_rgb = CBAM(dtype=dtype, name="cbam_rgb_feat1")(feat1_rgb)
-        feat1_nir = CBAM(dtype=dtype, name="cbam_nir_feat1")(feat1_nir)
-        feat2_rgb = CBAM(dtype=dtype, name="cbam_rgb_feat2")(feat2_rgb)
-        feat2_nir = CBAM(dtype=dtype, name="cbam_nir_feat2")(feat2_nir)
-        feat3_rgb = CBAM(dtype=dtype, name="cbam_rgb_feat3")(feat3_rgb)
-        feat3_nir = CBAM(dtype=dtype, name="cbam_nir_feat3")(feat3_nir)
+            stem_pair = (jnp.concatenate(
+                [s.astype(dtype) for s in stem_outs], axis=-1)
+                if stem_outs is not None else None)
+            x_pair = jnp.concatenate([rgb, nir], axis=-1)
+            f1p, f2p, f3p = PairedBackbone(bc, deep, name="backbone_pair",
+                                           **kw)(x_pair, train, stem_pair)
+            f1p = PairedCBAM(n_blocks=4, dtype=dtype, name="cbam_pair_feat1")(f1p)
+            f2p = PairedCBAM(n_blocks=4, dtype=dtype, name="cbam_pair_feat2")(f2p)
+            f3p = PairedCBAM(n_blocks=2, dtype=dtype, name="cbam_pair_feat3")(f3p)
 
-        # P5 fusion is an element-wise add (`nets/yolo_mul.py:421`).
-        feat3 = feat3_rgb + feat3_nir
+            # P5 fusion (`nets/yolo_mul.py:421`): feat3 is modality-blocked,
+            # so the rgb+nir add is a fold over the modality axis.
+            b_, h_, w_, cc = f3p.shape
+            feat3 = f3p.reshape(b_, h_, w_, 2, cc // 2).sum(axis=-2)
 
-        # One ConcatBiFPN instance shared across all three fusion points, like the
-        # reference's single `self.bi_fpn` (`nets/yolo_mul.py:344,428,435,443`).
-        bi_fpn = ConcatBiFPN(dtype=dtype, name="bi_fpn")
+            bi_fpn = PairedConcatBiFPN(dtype=dtype, name="bi_fpn")
+            mask1 = pair_layout(bc * 4, 4)[0]
+            mask2 = pair_layout(bc * 8, 4)[0]
+            mask3 = pair_layout(deep, 2)[0]
 
-        # ---- PAN neck ----
-        p4_hw = feat2_rgb.shape[1:3]
-        p3_hw = feat1_rgb.shape[1:3]
+            p4_hw = f2p.shape[1:3]
+            p3_hw = f1p.shape[1:3]
+            p5_up = resize_bilinear_align_corners(feat3, p4_hw)
+            p4 = bi_fpn(p5_up, f2p, mask2)
+            p4 = C2fRepGhost(bc * 8, n=depth, deploy=self.deploy,
+                             name="conv3_for_upsample1", **kw)(p4, train=train)
 
-        p5_up = resize_bilinear_align_corners(feat3, p4_hw)
-        p4 = bi_fpn((p5_up, feat2_rgb, feat2_nir))
-        p4 = C2fRepGhost(bc * 8, n=depth, deploy=self.deploy,
-                         name="conv3_for_upsample1", **kw)(p4, train=train)
+            p4_up = resize_bilinear_align_corners(p4, p3_hw)
+            p3 = bi_fpn(p4_up, f1p, mask1)
+            p3 = C2fRepGhost(bc * 4, n=depth, deploy=self.deploy,
+                             name="conv3_for_upsample2", **kw)(p3, train=train)
 
-        p4_up = resize_bilinear_align_corners(p4, p3_hw)
-        p3 = bi_fpn((p4_up, feat1_rgb, feat1_nir))
-        p3 = C2fRepGhost(bc * 4, n=depth, deploy=self.deploy,
-                         name="conv3_for_upsample2", **kw)(p3, train=train)
+            p3_down = ConvBnAct(bc * 4, 3, 2, name="down_sample1", **kw)(p3, train=train)
+            p4 = jnp.concatenate([p3_down, p4], axis=-1)
+            p4 = C2fRepGhost(bc * 8, n=depth, deploy=self.deploy,
+                             name="conv3_for_downsample1", **kw)(p4, train=train)
 
-        p3_down = ConvBnAct(bc * 4, 3, 2, name="down_sample1", **kw)(p3, train=train)
-        p4 = jnp.concatenate([p3_down, p4], axis=-1)
-        p4 = C2fRepGhost(bc * 8, n=depth, deploy=self.deploy,
-                         name="conv3_for_downsample1", **kw)(p4, train=train)
+            p4_down = ConvBnAct(bc * 8, 3, 2, name="down_sample2", **kw)(p4, train=train)
+            p5 = bi_fpn(p4_down, f3p, mask3)
+            p5 = C2fRepGhost(deep, n=depth, deploy=self.deploy,
+                             name="conv3_for_downsample2", **kw)(p5, train=train)
+        else:
+            # Optionally rematerialize the backbones (the full-resolution
+            # stem/dark activations dominate train-time memory; the pyramid
+            # taps are tiny).  static_argnums=(2,): arg 0 is the module
+            # instance under nn.remat, arg 2 is the python-bool train flag.
+            Bk = (nn.remat(Backbone, static_argnums=(2,)) if cfg.remat and train
+                  else Backbone)
+            stem_rgb, stem_nir = stem_outs if stem_outs is not None else (None, None)
+            bkw = dict(fold_shuffle=self.fold_shuffle, **kw)
+            feat1_rgb, feat2_rgb, feat3_rgb = Bk(bc, deep, name="backbone_rgb", **bkw)(
+                rgb, train, stem_rgb)
+            feat1_nir, feat2_nir, feat3_nir = Bk(bc, deep, name="backbone_nir", **bkw)(
+                nir, train, stem_nir)
 
-        p4_down = ConvBnAct(bc * 8, 3, 2, name="down_sample2", **kw)(p4, train=train)
-        p5 = bi_fpn((p4_down, feat3_rgb, feat3_nir))
-        p5 = C2fRepGhost(deep, n=depth, deploy=self.deploy,
-                         name="conv3_for_downsample2", **kw)(p5, train=train)
+            # Per-level, per-modality CBAM before fusion (`nets/yolo_mul.py:346-353`).
+            feat1_rgb = CBAM(dtype=dtype, name="cbam_rgb_feat1")(feat1_rgb)
+            feat1_nir = CBAM(dtype=dtype, name="cbam_nir_feat1")(feat1_nir)
+            feat2_rgb = CBAM(dtype=dtype, name="cbam_rgb_feat2")(feat2_rgb)
+            feat2_nir = CBAM(dtype=dtype, name="cbam_nir_feat2")(feat2_nir)
+            feat3_rgb = CBAM(dtype=dtype, name="cbam_rgb_feat3")(feat3_rgb)
+            feat3_nir = CBAM(dtype=dtype, name="cbam_nir_feat3")(feat3_nir)
+
+            # P5 fusion is an element-wise add (`nets/yolo_mul.py:421`).
+            feat3 = feat3_rgb + feat3_nir
+
+            # One ConcatBiFPN instance shared across all three fusion points, like the
+            # reference's single `self.bi_fpn` (`nets/yolo_mul.py:344,428,435,443`).
+            bi_fpn = ConcatBiFPN(dtype=dtype, name="bi_fpn")
+
+            # ---- PAN neck ----
+            p4_hw = feat2_rgb.shape[1:3]
+            p3_hw = feat1_rgb.shape[1:3]
+
+            p5_up = resize_bilinear_align_corners(feat3, p4_hw)
+            p4 = bi_fpn((p5_up, feat2_rgb, feat2_nir))
+            p4 = C2fRepGhost(bc * 8, n=depth, deploy=self.deploy,
+                             name="conv3_for_upsample1", **kw)(p4, train=train)
+
+            p4_up = resize_bilinear_align_corners(p4, p3_hw)
+            p3 = bi_fpn((p4_up, feat1_rgb, feat1_nir))
+            p3 = C2fRepGhost(bc * 4, n=depth, deploy=self.deploy,
+                             name="conv3_for_upsample2", **kw)(p3, train=train)
+
+            p3_down = ConvBnAct(bc * 4, 3, 2, name="down_sample1", **kw)(p3, train=train)
+            p4 = jnp.concatenate([p3_down, p4], axis=-1)
+            p4 = C2fRepGhost(bc * 8, n=depth, deploy=self.deploy,
+                             name="conv3_for_downsample1", **kw)(p4, train=train)
+
+            p4_down = ConvBnAct(bc * 8, 3, 2, name="down_sample2", **kw)(p4, train=train)
+            p5 = bi_fpn((p4_down, feat3_rgb, feat3_nir))
+            p5 = C2fRepGhost(deep, n=depth, deploy=self.deploy,
+                             name="conv3_for_downsample2", **kw)(p5, train=train)
 
         # ---- Decoupled head (`nets/yolo_mul.py:387-391,452-453`) ----
         ch = cfg.feat_channels

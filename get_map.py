@@ -38,6 +38,10 @@ def parse_args():
     p.add_argument("--fold-shuffle", action="store_true",
                    help="serve with channel_shuffles folded into downstream "
                         "weights (reparam.fold_shuffle_variables)")
+    p.add_argument("--pair-backbones", action="store_true",
+                   help="serve both backbones as ONE doubled-channel stream "
+                        "(models/pairing.py; small-batch option, implies "
+                        "--fold-shuffle)")
     p.add_argument("--compute-dtype", default="bfloat16")
     p.add_argument("--max-det", type=int, default=300,
                    help="per-image NMS survivor cap. The reference CLI is "
@@ -90,7 +94,8 @@ def main():
                 compute_dtype=args.compute_dtype, max_det=max_det,
                 pre_nms_topk=pre_nms_topk,
                 stem_backend=args.stem_backend,
-                fold_shuffle=args.fold_shuffle)
+                fold_shuffle=args.fold_shuffle or args.pair_backbones,
+                pair_backbones=args.pair_backbones)
             print(f"Get predict result (pre_nms_topk={pre_nms_topk}, "
                   f"max_det={max_det}).")
             def _load(image_id):

@@ -49,6 +49,10 @@ def parse_args():
                    help="serve with channel_shuffles folded into downstream "
                         "weights (reparam.fold_shuffle_variables; exact up to "
                         "FP summation order)")
+    p.add_argument("--pair-backbones", action="store_true",
+                   help="serve both backbones as ONE doubled-channel stream "
+                        "with block-diagonal weights (models/pairing.py; "
+                        "small-batch option, implies --fold-shuffle)")
     return p.parse_args()
 
 
@@ -70,7 +74,8 @@ def main():
         confidence=args.confidence, nms_iou=args.nms_iou,
         compute_dtype=args.compute_dtype, deploy=args.deploy,
         nms_backend=args.nms_backend, stem_backend=args.stem_backend,
-        fold_shuffle=args.fold_shuffle)
+        fold_shuffle=args.fold_shuffle or args.pair_backbones,
+        pair_backbones=args.pair_backbones)
     # deploy=True re-parameterizes inside the predictor (train-graph
     # checkpoint -> fused serving weights); no external transform needed
 

@@ -1,15 +1,19 @@
-"""On-chip A/B matrix for the serving pipeline: {stem xla|pallas} x {fold} x
-{batch sizes}, chained-dependency timing, bench.py's exact configuration.
+"""On-chip A/B matrix for the serving pipeline: {stem xla|pallas} x
+{plain|fold|fold+pair} x {batch sizes}, chained-dependency timing, bench.py's
+exact configuration.
 
 One command produces every number needed to decide the serving defaults
 ('auto' stem backend flip in infer/pipeline._stem_backend_resolve, fold
-default): run AFTER deviceless byte attribution (tools/serve_traffic_aot.py)
-predicts a win.  Deviceless prediction this round (MB/pair accessed, u8 in):
-b128 xla 329.7 / pallas 260.6 / pallas+fold 244.8; b1 xla 2072.7 / pallas
-845.5 / pallas+fold 765.5.
+default, pair-at-b1): run AFTER deviceless byte attribution
+(tools/serve_traffic_aot.py) predicts a win.  Deviceless prediction this
+round (MB/pair accessed, u8 in): b128 xla 329.7 / pallas 260.6 /
+pallas+fold 244.8 / pallas+fold+pair 296.1 (pair LOSES at b128 — the
+block-diagonal convs add FLOPs); b1 xla 2072.7 / pallas 845.5 /
+pallas+fold 765.5 / pallas+fold+pair 689.6 (−10%, plus −41% kernel count).
 
 Usage: python tools/serve_ab_matrix.py [batches...]   (default: 128 1)
-Env: AB_ITERS (default 20)
+Env: AB_ITERS (default 20), AB_CONFIGS (comma list of plain,fold,pair;
+default all)
 """
 
 from __future__ import annotations
@@ -28,7 +32,8 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def time_config(batch: int, stem: str, fold: bool, iters: int) -> float:
+def time_config(batch: int, stem: str, fold: bool, iters: int,
+                pair: bool = False) -> float:
     from dcfa_yolo_tpu.config import ModelConfig
     from dcfa_yolo_tpu.infer.pipeline import detect_batch
     from dcfa_yolo_tpu.models.reparam import deploy_variables, fold_shuffle_variables
@@ -37,10 +42,14 @@ def time_config(batch: int, stem: str, fold: bool, iters: int) -> float:
     cfg = ModelConfig(num_classes=1, phi="n", input_shape=(640, 640),
                       compute_dtype="bfloat16")
     _, variables = init_model(cfg, jax.random.PRNGKey(0))
-    model = DCFAYolo(cfg, deploy=True, fold_shuffle=fold)
+    model = DCFAYolo(cfg, deploy=True, fold_shuffle=fold, pair_backbones=pair)
     variables = jax.jit(deploy_variables)(variables)
     if fold:
         variables = jax.jit(fold_shuffle_variables)(variables)
+    if pair:
+        from dcfa_yolo_tpu.models.pairing import pair_backbone_variables
+
+        variables = jax.jit(pair_backbone_variables)(variables)
 
     rng = np.random.Generator(np.random.PCG64(0))
     rgb = jnp.asarray(rng.integers(0, 255, (batch, 480, 602, 3)), jnp.uint8)
@@ -75,12 +84,15 @@ def time_config(batch: int, stem: str, fold: bool, iters: int) -> float:
 def main():
     batches = [int(a) for a in sys.argv[1:]] or [128, 1]
     iters = int(os.environ.get("AB_ITERS", "20"))
+    configs = os.environ.get("AB_CONFIGS", "plain,fold,pair").split(",")
+    modes = [m for m in (("plain", False, False), ("fold", True, False),
+                         ("pair", True, True)) if m[0] in configs]
     print(f"device: {jax.devices()[0].device_kind}", flush=True)
     for batch in batches:
         for stem in ("xla", "pallas"):
-            for fold in (False, True):
-                dt = time_config(batch, stem, fold, iters)
-                print(f"b{batch:<4d} stem={stem:6s} fold={int(fold)}: "
+            for name, fold, pair in modes:
+                dt = time_config(batch, stem, fold, iters, pair=pair)
+                print(f"b{batch:<4d} stem={stem:6s} {name:5s}: "
                       f"{dt*1e3/batch:7.3f} ms/pair  {batch/dt:8.1f} pairs/s",
                       flush=True)
 

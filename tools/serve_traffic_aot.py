@@ -20,7 +20,8 @@ Measured (b128 640², bf16, deploy graph, this tool, jax 0.8.x):
   stem=pallas u8-in   fold    : 244.8           (bench.py default since r3)
   stem=xla    u8-in   fold    : 315.3
 
-Usage: python tools/serve_traffic_aot.py [batch] [xla|pallas] [u8|f32] [fold]
+Usage: python tools/serve_traffic_aot.py [batch] [xla|pallas] [u8|f32] [fold] [pair]
+("pair" implies fold: the paired backbones of models/pairing.py)
 """
 
 from __future__ import annotations
@@ -71,7 +72,8 @@ def main():
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 128
     stem = sys.argv[2] if len(sys.argv) > 2 else "pallas"
     in_dtype = sys.argv[3] if len(sys.argv) > 3 else "u8"
-    fold = "fold" in sys.argv[4:]
+    pair = "pair" in sys.argv[4:]
+    fold = "fold" in sys.argv[4:] or pair
 
     import jax
     jax.config.update("jax_platforms", "cpu")  # deviceless — never grab axon
@@ -87,10 +89,14 @@ def main():
     cfg = ModelConfig(num_classes=1, phi="n", input_shape=(640, 640),
                       compute_dtype="bfloat16")
     _, variables = init_model(cfg, jax.random.PRNGKey(0))
-    model = DCFAYolo(cfg, deploy=True, fold_shuffle=fold)
+    model = DCFAYolo(cfg, deploy=True, fold_shuffle=fold, pair_backbones=pair)
     variables = jax.jit(deploy_variables)(variables)
     if fold:
         variables = jax.jit(fold_shuffle_variables)(variables)
+    if pair:
+        from dcfa_yolo_tpu.models.pairing import pair_backbone_variables
+
+        variables = jax.jit(pair_backbone_variables)(variables)
 
     topo = topologies.get_topology_desc("v5e:2x2", "tpu")
     mesh = Mesh(np.array(topo.devices[:1]), ("d",))
@@ -112,6 +118,7 @@ def main():
     comp = jax.jit(fn).lower(var_s, r_s, r_s, hw_s).compile()
     ca = comp.cost_analysis()
     print(f"serve b{batch} 640^2 stem={stem} in={in_dtype} fold={fold} "
+          f"pair={pair} "
           f"(v5e AOT): {ca['bytes accessed'] / 1e9:.2f} GB accessed = "
           f"{ca['bytes accessed'] / batch / 1e6:.1f} MB/pair, "
           f"{ca['flops'] / 1e9:.0f} GFLOP", flush=True)
