@@ -183,6 +183,7 @@ class DCFAYolo(nn.Module):
         c2 = max(16, ch[0] // 4, cfg.reg_max * 4)
         c3 = max(ch[0], cfg.num_classes)
         feats = []
+        boxes_l, clses_l = [], []
         for i, p in enumerate((p3, p4, p5)):
             box = ConvBnAct(c2, 3, name=f"cv2_{i}_0", **kw)(p, train=train)
             box = ConvBnAct(c2, 3, name=f"cv2_{i}_1", **kw)(box, train=train)
@@ -192,15 +193,25 @@ class DCFAYolo(nn.Module):
             cls = ConvBnAct(c3, 3, name=f"cv3_{i}_1", **kw)(cls, train=train)
             cls = torch_conv(cfg.num_classes, 1, use_bias=True, dtype=dtype,
                              name=f"cv3_{i}_2")(cls)
+            boxes_l.append(box)
+            clses_l.append(cls)
             feats.append(jnp.concatenate([box, cls], axis=-1))
 
         # Flatten levels to the anchor axis; row-major (y, x) per level matches the
         # reference's NCHW `.view(b, no, -1)` order (`nets/yolo_mul.py:459`).
+        # Box/cls flatten straight from the per-level maps rather than slicing
+        # the (B, 8400, no) level concat back apart: a channel slice of
+        # `concat([box, cls])` IS the operand (bit-exact), and skipping the
+        # round trip keeps the ~(B, 8400, no) buffer plus two slice reads out
+        # of HBM in the serving graph (~3 MB/pair at b128 640²).  `feats`
+        # still carries the concatenated maps for the loss/heatmap consumers.
         b = feats[0].shape[0]
-        flat = jnp.concatenate(
-            [f.reshape(b, -1, cfg.no) for f in feats], axis=1)
-        box_logits = flat[..., : cfg.reg_max * 4].astype(jnp.float32)
-        cls_logits = flat[..., cfg.reg_max * 4:].astype(jnp.float32)
+        box_logits = jnp.concatenate(
+            [f.reshape(b, -1, cfg.reg_max * 4) for f in boxes_l],
+            axis=1).astype(jnp.float32)
+        cls_logits = jnp.concatenate(
+            [f.reshape(b, -1, cfg.num_classes) for f in clses_l],
+            axis=1).astype(jnp.float32)
         dbox = dfl_decode(box_logits, cfg.reg_max)
 
         if stem_outs is not None:

@@ -17,8 +17,13 @@ Measured (b128 640², bf16, deploy graph, this tool, jax 0.8.x):
   stem=xla    f32-in  no-fold : 339.8 MB/pair   (round-2 bench config)
   stem=pallas f32-in  no-fold : 266.9
   stem=pallas u8-in   no-fold : 260.6
-  stem=pallas u8-in   fold    : 244.8           (bench.py default since r3)
-  stem=xla    u8-in   fold    : 315.3
+  stem=pallas u8-in   fold    : 244.8 -> 238.0 after the head split-concat
+  stem=xla    u8-in   fold    : 315.3 -> 307.4 removal (models/yolo.py head;
+  stem=pallas u8-in   pair    : 296.1            pair loses at b128)
+b1: xla+f32 2111.4 / pallas+u8+fold 765.5->774.6 / pair 689.6->698.7 MB/pair
+(the head split-concat removal costs ~9 MB at b1 — the lone-channel cls
+stream pads lanes worse than the fused 65-ch concat — and saves 7-8 MB/pair
+at b128, the bench operating point)
 
 Usage: python tools/serve_traffic_aot.py [batch] [xla|pallas] [u8|f32] [fold] [pair]
 ("pair" implies fold: the paired backbones of models/pairing.py)
