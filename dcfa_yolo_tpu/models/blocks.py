@@ -200,9 +200,16 @@ def dfl_decode(box_logits: jnp.ndarray, reg_max: int = 16) -> jnp.ndarray:
     """
     shape = box_logits.shape
     x = box_logits.reshape(*shape[:-1], 4, reg_max)
-    x = nn.softmax(x, axis=-1)
+    # expectation via two reductions of one exp chain rather than
+    # softmax-then-dot: the dot's operand forces the f32 (B, 8400, 4, 16)
+    # softmax output into HBM (275 MB write+read at b128 640²), while two
+    # reduce consumers let XLA recompute the cheap exp per reduce and only
+    # the (B, 8400, 4) numerator/denominator are ever written.  Same formula
+    # as softmax·arange up to FP summation order.
+    m = jnp.max(x, axis=-1, keepdims=True)
+    e = jnp.exp(x - m)
     proj = jnp.arange(reg_max, dtype=x.dtype)
-    return jnp.einsum("...r,r->...", x, proj)
+    return jnp.sum(e * proj, axis=-1) / jnp.sum(e, axis=-1)
 
 
 class SqueezeExcite(nn.Module):

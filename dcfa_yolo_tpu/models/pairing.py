@@ -8,7 +8,7 @@ Measured deviceless for v5e at batch 1 (tools/serve_traffic_aot.py protocol,
 darks only): two bc=16 streams access 500.1 MB over ~217 top-level kernels;
 one doubled-channel stream accesses 361.1 MB over ~127 (−28% bytes, −41%
 kernels).  Full pipeline (tools/serve_traffic_aot.py, pallas stem + u8 +
-fold): b1 774.6 → 698.7 MB/pair (−10%); at b128 pairing LOSES (238.0 →
+fold): b1 785.1 → 709.2 MB/pair (−10%); at b128 pairing LOSES (231.9 →
 296.1 MB/pair — the block-diagonal kernels double the conv FLOPs, and the
 batch-minor layouts already fill the lanes), so pairing is a small-batch
 serving option, not the default.

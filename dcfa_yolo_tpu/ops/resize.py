@@ -127,6 +127,29 @@ def resize_bicubic(x: jnp.ndarray, out_hw: Tuple[int, int], pil_parity: bool = T
     return _separable_resize(x, make(h, out_hw[0]), make(w, out_hw[1]))
 
 
+def _letterbox_matrices(ih: int, iw: int, nh: int, nw: int, th: int, tw: int,
+                        pad_value: float, pil_parity: bool, border: int):
+    """Resize matrices extended with zero rows/cols at the letterbox pad
+    positions (plus an optional zero ring of `border` px), and the constant
+    gray-fill image `g`: (th+2b, tw+2b) with pad_value on canvas-minus-image
+    and 0 on the image region and the border ring."""
+    make = _pil_cubic_matrix if pil_parity else _cubic_matrix
+    pad_top = (th - nh) // 2 + border
+    pad_left = (tw - nw) // 2 + border
+    ah = np.zeros((th + 2 * border, ih), np.float32)
+    ah[pad_top:pad_top + nh, :] = make(ih, nh)
+    aw = np.zeros((tw + 2 * border, iw), np.float32)
+    aw[pad_left:pad_left + nw, :] = make(iw, nw)
+    g = np.full((th + 2 * border, tw + 2 * border), pad_value, np.float32)
+    g[pad_top:pad_top + nh, pad_left:pad_left + nw] = 0.0
+    if border:
+        g[:border, :] = 0.0
+        g[-border:, :] = 0.0
+        g[:, :border] = 0.0
+        g[:, -border:] = 0.0
+    return ah, aw, g
+
+
 def letterbox_batch_cf(
     images: jnp.ndarray,
     target_hw: Tuple[int, int],
@@ -147,30 +170,29 @@ def letterbox_batch_cf(
     nw, nh = int(iw * scale), int(ih * scale)
     x = images.astype(jnp.float32)
     if (nh, nw) == (ih, iw):
-        x_cf = jnp.transpose(x, (0, 3, 1, 2))
-    else:
-        if pil_parity:
-            aw = jnp.asarray(_pil_cubic_matrix(iw, nw), dtype=x.dtype)
-            ah = jnp.asarray(_pil_cubic_matrix(ih, nh), dtype=x.dtype)
-        else:
-            aw = jnp.asarray(_cubic_matrix(iw, nw), dtype=x.dtype)
-            ah = jnp.asarray(_cubic_matrix(ih, nh), dtype=x.dtype)
-        x = jnp.einsum("qw,bhwc->bhqc", aw, x)
-        if pil_parity:
-            x = jnp.clip(jnp.round(x), 0.0, 255.0)
-        # vertical pass writes the channels-first layout directly
-        x_cf = jnp.einsum("ph,bhqc->bcpq", ah, x)
+        x_cf = jnp.clip(jnp.round(jnp.transpose(x, (0, 3, 1, 2))), 0.0, 255.0)
+        pad_top, pad_left = (th - nh) // 2, (tw - nw) // 2
+        x_cf = jnp.pad(
+            x_cf,
+            ((0, 0), (0, 0), (pad_top, th - nh - pad_top),
+             (pad_left, tw - nw - pad_left)),
+            constant_values=pad_value)
+        return jnp.pad(x_cf, ((0, 0), (0, 0), (1, 1), (1, 1)))
+    # Canvas + zero-border pads folded into the resize matrices (see
+    # letterbox_batch): the vertical dot writes the bordered (th+2, tw+2)
+    # canvas directly in channels-first order; gray fill is a fused constant
+    # add (0 on the image region and the border ring).
+    ah, aw, g = _letterbox_matrices(ih, iw, nh, nw, th, tw, pad_value,
+                                    pil_parity, border=1)
+    aw = jnp.asarray(aw, dtype=x.dtype)
+    ah = jnp.asarray(ah, dtype=x.dtype)
+    x = jnp.einsum("qw,bhwc->bhqc", aw, x)
+    if pil_parity:
+        x = jnp.clip(jnp.round(x), 0.0, 255.0)
+    # vertical pass writes the channels-first layout directly
+    x_cf = jnp.einsum("ph,bhqc->bcpq", ah, x)
     x_cf = jnp.clip(jnp.round(x_cf), 0.0, 255.0)
-    pad_top = (th - nh) // 2
-    pad_left = (tw - nw) // 2
-    # inner pad: gray letterbox canvas; outer 1-px pad: the conv's zero border
-    x_cf = jnp.pad(
-        x_cf,
-        ((0, 0), (0, 0), (pad_top, th - nh - pad_top),
-         (pad_left, tw - nw - pad_left)),
-        constant_values=pad_value,
-    )
-    return jnp.pad(x_cf, ((0, 0), (0, 0), (1, 1), (1, 1)))
+    return x_cf + jnp.asarray(g, x_cf.dtype)[None, None, :, :]
 
 
 def letterbox_batch(
@@ -192,13 +214,29 @@ def letterbox_batch(
     scale = min(tw / iw, th / ih)
     nw, nh = int(iw * scale), int(ih * scale)
     x = images.astype(jnp.float32)
-    x = resize_bicubic(x, (nh, nw), pil_parity=pil_parity)
-    # PIL converts back to uint8 after resizing; round+clip for parity.
+    if (nh, nw) == (ih, iw):
+        # no resample → plain paste (pad) onto the gray canvas
+        pad_top, pad_left = (th - nh) // 2, (tw - nw) // 2
+        x = jnp.clip(jnp.round(x), 0.0, 255.0)
+        return jnp.pad(
+            x, ((0, 0), (pad_top, th - nh - pad_top),
+                (pad_left, tw - nw - pad_left), (0, 0)),
+            constant_values=pad_value)
+    # The canvas pad is folded into the resize matrices: zero rows/cols at the
+    # pad positions make the second resize dot write the (th, tw) canvas
+    # directly, and the gray fill rides in as a fused constant add — the
+    # separate pad op used to write (and the consumer re-read) a second
+    # full-canvas buffer per modality (~500 MB/modality at b128 640²).
+    # Exact vs resize-then-pad: image-region dot coefficients are unchanged,
+    # pad rows are exact zeros, and round/clip fix 0 and 128 (integers).
+    ah, aw, g = _letterbox_matrices(ih, iw, nh, nw, th, tw, pad_value,
+                                    pil_parity, border=0)
+    aw = jnp.asarray(aw, dtype=x.dtype)
+    ah = jnp.asarray(ah, dtype=x.dtype)
+    x = jnp.einsum("qw,bhwc->bhqc", aw, x)
+    if pil_parity:
+        # PIL stores uint8 between passes
+        x = jnp.clip(jnp.round(x), 0.0, 255.0)
+    x = jnp.einsum("ph,bhqc->bpqc", ah, x)
     x = jnp.clip(jnp.round(x), 0.0, 255.0)
-    pad_top = (th - nh) // 2
-    pad_left = (tw - nw) // 2
-    return jnp.pad(
-        x,
-        ((0, 0), (pad_top, th - nh - pad_top), (pad_left, tw - nw - pad_left), (0, 0)),
-        constant_values=pad_value,
-    )
+    return x + jnp.asarray(g, x.dtype)[None, :, :, None]

@@ -6,10 +6,10 @@ One command produces every number needed to decide the serving defaults
 ('auto' stem backend flip in infer/pipeline._stem_backend_resolve, fold
 default, pair-at-b1): run AFTER deviceless byte attribution
 (tools/serve_traffic_aot.py) predicts a win.  Deviceless prediction this
-round (MB/pair accessed, u8 in, after the head split-concat removal):
-b128 xla+fold 307.4 / pallas+fold 238.0 / pallas+fold+pair 296.1 (pair
-LOSES at b128 — the block-diagonal convs add FLOPs); b1 xla 2072.7 /
-pallas+fold 774.6 / pallas+fold+pair 698.7 (−10%, plus −41% kernel count).
+round (MB/pair accessed, u8 in, after session 4's three serving-graph
+fixes): b128 xla+fold 289.1 / pallas+fold 231.9 / pallas+fold+pair 296.1
+(pair LOSES at b128 — the block-diagonal convs add FLOPs); b1 xla 2072.7 /
+pallas+fold 785.1 / pallas+fold+pair 709.2 (−10%, plus −41% kernel count).
 
 Usage: python tools/serve_ab_matrix.py [batches...]   (default: 128 1)
 Env: AB_ITERS (default 20), AB_CONFIGS (comma list of plain,fold,pair;

@@ -17,13 +17,14 @@ Measured (b128 640², bf16, deploy graph, this tool, jax 0.8.x):
   stem=xla    f32-in  no-fold : 339.8 MB/pair   (round-2 bench config)
   stem=pallas f32-in  no-fold : 266.9
   stem=pallas u8-in   no-fold : 260.6
-  stem=pallas u8-in   fold    : 244.8 -> 238.0 after the head split-concat
-  stem=xla    u8-in   fold    : 315.3 -> 307.4 removal (models/yolo.py head;
-  stem=pallas u8-in   pair    : 296.1            pair loses at b128)
-b1: xla+f32 2111.4 / pallas+u8+fold 765.5->774.6 / pair 689.6->698.7 MB/pair
-(the head split-concat removal costs ~9 MB at b1 — the lone-channel cls
-stream pads lanes worse than the fused 65-ch concat — and saves 7-8 MB/pair
-at b128, the bench operating point)
+  stem=pallas u8-in   fold    : 244.8 -> 231.9 (head split-concat removal
+  stem=xla    u8-in   fold    : 315.3 -> 289.1  -2.8%, DFL two-reduction
+  stem=pallas u8-in   pair    : 296.1            -1.1%, letterbox pad fold
+                                                 -1.4%; pair loses at b128)
+b1: xla+f32 2111.4 / pallas+u8+fold 765.5->785.1 / pair 689.6->709.2 MB/pair
+(the three b128 wins each cost ~1% at b1 — lane/sublane padding of the
+smaller separate buffers — where time is dominated by fixed per-execution
+overheads, not bytes; b1 remains padding-bound, see README)
 
 Usage: python tools/serve_traffic_aot.py [batch] [xla|pallas] [u8|f32] [fold] [pair]
 ("pair" implies fold: the paired backbones of models/pairing.py)
@@ -69,7 +70,11 @@ def materialized_bytes(hlo: str):
         b = shape_bytes(shape_txt)
         if b and op:
             by_kind[op] += b
-            singles.append((b, t[:180]))
+            name = t.split("=", 1)[0].strip()
+            meta = ""
+            if 'op_name="' in t:
+                meta = t.split('op_name="', 1)[1].split('"', 1)[0]
+            singles.append((b, f"{name} = {shape_txt} {op}  [{meta}]"))
     return by_kind, singles
 
 
