@@ -81,7 +81,12 @@ def main() -> None:
     iters = int(os.environ.get("BENCH_ITERS", "30"))
     size = int(os.environ.get("BENCH_SIZE", "640"))
     nms_backend = os.environ.get("BENCH_NMS", "pallas")
-    stem_backend = os.environ.get("BENCH_STEM", "auto")
+    # 'autotune' (default): time BOTH stem backends on this chip and keep the
+    # faster — the fused Pallas stem saves 57 MB/pair of HBM (deviceless v5e
+    # cost analysis, tools/serve_traffic_aot.py) but its compute has never
+    # been timed on real hardware (infer/pipeline 'auto' therefore stays
+    # conservative); the bench decides empirically and reports which won.
+    stem_backend = os.environ.get("BENCH_STEM", "autotune")
     fold_shuffle = os.environ.get("BENCH_FOLD_SHUFFLE", "1") == "1"
 
     cfg = ModelConfig(num_classes=1, phi="n", input_shape=(size, size),
@@ -109,11 +114,36 @@ def main() -> None:
     nir = jnp.asarray(rng.integers(0, 255, (batch, 480, 602, 3)), in_dtype)
     image_hw = jnp.asarray(np.tile([480.0, 602.0], (batch, 1)), jnp.float32)
 
-    def fn(r, n):
-        return detect_batch(model, variables, r, n, image_hw, conf_thres=0.5,
-                            iou_thres=0.3, letterbox=True, max_det=300,
-                            pre_nms_topk=512, nms_backend=nms_backend,
-                            stem_backend=stem_backend)
+    def make_fn(stem):
+        def fn(r, n):
+            return detect_batch(model, variables, r, n, image_hw,
+                                conf_thres=0.5, iou_thres=0.3, letterbox=True,
+                                max_det=300, pre_nms_topk=512,
+                                nms_backend=nms_backend, stem_backend=stem)
+        return fn
+
+    autotune_note = None
+    if stem_backend == "autotune":
+        from dcfa_yolo_tpu.infer.pipeline import _stem_backend_resolve
+
+        candidates = ["xla"]
+        try:
+            if _stem_backend_resolve("pallas", cfg):
+                candidates.append("pallas")
+        except ValueError:
+            pass
+        times = {}
+        for cand in candidates:
+            try:
+                times[cand] = timeit_chained(make_fn(cand), (rgb, nir),
+                                             iters=10, trials=2, warmup=8)
+            except Exception as e:  # unproven kernel must not kill the bench
+                times[cand] = float("inf")
+                autotune_note = f"{cand} failed: {type(e).__name__}"
+        stem_backend = min(times, key=times.get)
+        autotune_note = autotune_note or {
+            c: round(batch / t, 1) for c, t in times.items()}
+    fn = make_fn(stem_backend)
 
     # compiled-executable accounting
     compiled = jax.jit(fn).lower(rgb, nir).compile()
@@ -161,6 +191,8 @@ def main() -> None:
         "mfu": round(mfu, 4),
         "hbm_gbps": round(bytes_per_pair * pairs_per_sec / 1e9, 1),
         "hbm_util": round(hbm_util, 3),
+        "stem_backend": stem_backend,
+        "stem_autotune": autotune_note,
         "timing": "chained-dependency (see utils/profiling.timeit_chained)",
     }))
 
