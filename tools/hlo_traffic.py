@@ -48,6 +48,100 @@ def shape_bytes(txt: str) -> int:
     return total
 
 
+_VIEW_OPS = ("parameter", "constant", "tuple", "get-tuple-element", "bitcast",
+             "copy-start", "slice-start", "all-reduce-start", "custom-call-start")
+
+
+def _strip_wrappers(meta: str) -> str:
+    return "/".join(p for p in meta.split("/")
+                    if not p.startswith(("jit(", "jvp(", "transpose(",
+                                         "checkpoint", "remat")))
+
+
+def attribute_traffic(hlo: str, depth: int = 2):
+    """Approximate per-module HBM traffic (reads+writes) from optimized HLO.
+
+    Counts, for every op outside fused-computation bodies (fusions count as
+    one op: their operands are read and their outputs written; view ops —
+    parameter/gte/bitcast/tuple and async `-start` halves — are free):
+      * writes: the op's output bytes;
+      * reads: the resolved output bytes of each distinct operand.
+    Attributed to `fwd|bwd <first `depth` op_name path components>` with
+    jit()/jvp()/transpose() wrappers stripped; ops with no metadata (relayout
+    copies, DMAs) inherit their first operand producer's module.  While-loop
+    bodies are counted ONCE (like XLA cost analysis), so loop-heavy code
+    (iterative NMS/argmax) is under-counted by its trip count.  This is a
+    ranking tool, not an exact model: double-buffering, VMEM residency and
+    padding are invisible.  Returns (by_module, singles) where singles are
+    (bytes, description) for the largest individual ops.
+    """
+    from collections import defaultdict
+
+    # fused-computation names (fusion bodies — their ops are internal)
+    fused_names = set()
+    for line in hlo.splitlines():
+        if "fusion(" in line and "calls=" in line:
+            tail = line.split("calls=")[1]
+            fused_names.add(tail.split(",")[0].split(")")[0].strip().lstrip("%"))
+
+    op_re = re.compile(
+        r"^\s*(?:ROOT\s+)?(%[\w.\-]+)\s*=\s*((?:\([^=]*?\)|[\w\[\],{}():/#\s]+?))\s+"
+        r"([a-z][\w\-]*)\((.*)$")
+    oper_re = re.compile(r"%[\w.\-]+")
+
+    shape_of, meta_of, module_of = {}, {}, {}
+    records = []  # (name, op, out_bytes, operands, meta, in_fused)
+    cur_comp = None
+    for line in hlo.splitlines():
+        s = line.rstrip()
+        if s and not s.startswith(" ") and "{" in s:
+            cur_comp = s.split()[0].lstrip("%")
+            continue
+        m = op_re.match(s)
+        if not m:
+            continue
+        name, rtype, op, rest = m.groups()
+        b = shape_bytes(rtype)
+        shape_of[name] = b
+        meta = ""
+        if 'op_name="' in rest:
+            meta = rest.split('op_name="', 1)[1].split('"', 1)[0]
+        meta_of[name] = meta
+        # operand list = leading %refs before any computation-ref keyword
+        cut = len(rest)
+        for kw in (", kind=", "metadata=", "calls=", "condition=", "body=",
+                   "to_apply=", "select=", "scatter=", "custom_call_target="):
+            i = rest.find(kw)
+            if i != -1:
+                cut = min(cut, i)
+        opers = oper_re.findall(rest[:cut])
+        records.append((name, op, b, opers, meta, cur_comp in fused_names))
+
+    by_module = defaultdict(int)
+    singles = []
+    for name, op, b, opers, meta, in_fused in records:
+        if in_fused or op in _VIEW_OPS:
+            continue
+        reads = sum(shape_of.get(o, 0) for o in dict.fromkeys(opers))
+        total = b + reads
+        key = None
+        if meta:
+            tag = "bwd" if "transpose(" in meta else "fwd"
+            path = _strip_wrappers(meta)
+            key = f"{tag} {'/'.join(path.split('/')[:depth]) or '(root)'}"
+        else:
+            for o in opers:
+                if meta_of.get(o):
+                    key = module_of.get(o) or "(no meta)"
+                    break
+            key = (key or "(no meta)") + f" [{op}]"
+        module_of[name] = key.split(" [")[0]
+        by_module[key] += total
+        singles.append((total, f"{name} {op} w={b/1e6:.0f}MB r={reads/1e6:.0f}MB"
+                               f"  [{meta[:90]}]"))
+    return by_module, singles
+
+
 def main():
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 32
     size = int(sys.argv[2]) if len(sys.argv) > 2 else 640

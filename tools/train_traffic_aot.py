@@ -20,6 +20,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 from tools.hlo_traffic import shape_bytes  # noqa: E402
+from tools.serve_traffic_aot import materialized_bytes  # noqa: E402
 
 
 def main():
@@ -72,28 +73,24 @@ def main():
           f"{ca['flops'] / 1e9:.0f} GFLOP", flush=True)
 
     hlo = comp.as_text()
-    by_kind = defaultdict(int)
-    singles = []
-    for line in hlo.splitlines():
-        t = line.strip()
-        if "=" not in t or not t.startswith("%"):
-            continue
-        lhs, rhs = t.split("=", 1)
-        rhs = rhs.strip()
-        head = rhs.split("(")[0].split()
-        op = head[-1].split(".")[0] if "(" in rhs and head else ""
-        shape_txt = rhs.split(" ")[0]
-        b = shape_bytes(shape_txt)
-        if b and op:
-            by_kind[op] += b
-            singles.append((b, t[:150]))
-    total = sum(by_kind.values())
-    print(f"\ntotal output bytes (all ops incl. fusion bodies): {total/1e9:.2f} GB")
-    print("\nby op kind (output bytes):")
-    for k, v in sorted(by_kind.items(), key=lambda kv: -kv[1])[:16]:
-        print(f"  {k:28s} {v/1e9:8.3f} GB  ({100*v/total:5.1f}%)")
+    dump = os.environ.get("HLO_DUMP", "/tmp/train_step_hlo.txt")
+    if dump:
+        with open(dump, "w") as f:
+            f.write(hlo)
+        print(f"optimized HLO saved to {dump}")
+    by_kind, _ = materialized_bytes(hlo)
+    print(f"\nmaterialized output bytes (non-fusion-internal): "
+          f"{sum(by_kind.values())/1e9:.2f} GB")
+
+    from tools.hlo_traffic import attribute_traffic
+    by_module, singles = attribute_traffic(hlo, depth=2)
+    total = sum(by_module.values())
+    print(f"\nread+write traffic (attribute_traffic): {total/1e9:.2f} GB")
+    print("\nby module (reads+writes):")
+    for k, v in sorted(by_module.items(), key=lambda kv: -kv[1])[:30]:
+        print(f"  {v/1e9:8.3f} GB  ({100*v/total:5.1f}%)  {k}")
     print("\ntop single ops:")
-    for b, t in sorted(singles, key=lambda x: -x[0])[:14]:
+    for b, t in sorted(singles, key=lambda x: -x[0])[:30]:
         print(f"  {b/1e6:9.1f} MB  {t}")
 
 
