@@ -103,6 +103,13 @@ def main() -> None:
         from dcfa_yolo_tpu.models.reparam import fold_shuffle_variables
 
         variables = jax.jit(fold_shuffle_variables)(variables)
+    # opt-in (matches infer/predictor.py cast_weights=False): bit-identical
+    # (tests/test_cast_weights.py) but bf16 kernel layouts pad small convs to
+    # MORE total bytes on v5e (b1 785.1 -> 796.9 MB/pair deviceless)
+    if os.environ.get("BENCH_CAST_W", "0") == "1":
+        from dcfa_yolo_tpu.models.reparam import cast_conv_kernels
+
+        variables = jax.jit(cast_conv_kernels)(variables)
 
     rng = np.random.Generator(np.random.PCG64(0))
     # uint8 inputs: what the product path feeds (predictor passes PIL-decoded

@@ -65,6 +65,7 @@ class YOLOPredictor:
         stem_backend: str = "auto",
         fold_shuffle: bool = False,
         pair_backbones: bool = False,
+        cast_weights: bool = False,
     ):
         if class_names is None:
             if classes_path is None:
@@ -123,6 +124,17 @@ class YOLOPredictor:
                 from dcfa_yolo_tpu.models.pairing import pair_backbone_variables
 
                 template = jax.jit(pair_backbone_variables)(template)
+            if cast_weights and compute_dtype != "float32":
+                # bit-identical (convs cast kernels to compute_dtype at apply
+                # time anyway, tests/test_cast_weights.py) and halves the
+                # upload, but OFF by default: deviceless v5e attribution
+                # measured bf16 kernel layouts padding small convs to MORE
+                # total bytes than f32 (b1 785.1 -> 796.9 MB/pair — same
+                # pathology as the int8 probe, tools/int8_conv_probe.py)
+                from dcfa_yolo_tpu.models.reparam import cast_conv_kernels
+
+                template = jax.jit(lambda v: cast_conv_kernels(
+                    v, jnp.dtype(compute_dtype)))(template)
             self.variables = template
 
         hsv = [(x / self.num_classes, 1.0, 1.0) for x in range(self.num_classes)]

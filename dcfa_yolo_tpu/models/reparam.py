@@ -186,3 +186,38 @@ def deploy_variables(variables):
     out["params"] = new_params
     out["batch_stats"] = new_stats
     return out
+
+
+def cast_conv_kernels(variables, dtype=jnp.bfloat16):
+    """Pre-cast every 4-D conv `kernel` leaf to the serving compute dtype.
+
+    With `ModelConfig.compute_dtype='bfloat16'` every conv already casts its
+    kernel to bfloat16 at apply time (flax promote_dtype), so storing the
+    kernels pre-cast is BIT-IDENTICAL output-wise (same round-to-nearest-even,
+    pinned by tests/test_cast_weights.py) and halves the host→device upload.
+    It is nonetheless OFF by default in the predictor: deviceless v5e
+    attribution measured bf16 kernel layouts padding this model's small convs
+    to MORE total accessed bytes than f32 (b1 785.1 → 796.9 MB/pair) — the
+    same narrow-dtype padding pathology as tools/int8_conv_probe.py.
+
+    Only 4-D kernels are cast: BN scale/bias/mean/var and RepGhost biases are
+    consumed in float32 by the per-channel eval-BN fold (ops/norm.py), where a
+    pre-cast WOULD change numerics.  Apply AFTER deploy/fold/pair transforms
+    (those permute and fuse in f32).
+    """
+    import flax
+
+    var_dict = (flax.core.unfreeze(variables)
+                if hasattr(variables, "unfreeze") else dict(variables))
+
+    def walk(node):
+        if isinstance(node, dict):
+            return {k: (v.astype(dtype)
+                        if k == "kernel" and hasattr(v, "ndim") and v.ndim == 4
+                        else walk(v))
+                    for k, v in node.items()}
+        return node
+
+    out = dict(var_dict)
+    out["params"] = walk(dict(var_dict["params"]))
+    return out

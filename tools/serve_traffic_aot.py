@@ -107,6 +107,12 @@ def main():
         from dcfa_yolo_tpu.models.pairing import pair_backbone_variables
 
         variables = jax.jit(pair_backbone_variables)(variables)
+    if "castw" in sys.argv[4:]:
+        # measured +11.8 MB/pair at b1: bf16 kernel layouts pad small convs
+        # to MORE bytes than f32 — why predictor cast_weights defaults False
+        from dcfa_yolo_tpu.models.reparam import cast_conv_kernels
+
+        variables = jax.jit(cast_conv_kernels)(variables)
 
     topo = topologies.get_topology_desc("v5e:2x2", "tpu")
     mesh = Mesh(np.array(topo.devices[:1]), ("d",))
