@@ -93,6 +93,73 @@ def _shuffle_inv_perm(c: int) -> np.ndarray:
     return inv
 
 
+def shuffle_fold_spec(params):
+    """The fold as data: [(path, axis, rows)] with fold = take(leaf, rows, axis).
+
+    Every permutation the fold applies, keyed by the params-tree path it
+    applies to, so the SAME spec can transform any params-structured tree —
+    the params themselves, the EMA params, and the optimizer moment trees
+    (Adam mu/nu, SGD trace mirror the params tree leaf-for-leaf, and the
+    optimizer math is elementwise, hence permutation-equivariant).  The
+    inverse (`apply_shuffle_spec(..., inverse=True)`) takes at argsort(rows).
+    """
+    spec = []
+    for bk in ("backbone_rgb", "backbone_nir"):
+        for consumer in ("dark3_conv", "dark4_conv", "dark5_conv"):
+            k = params[bk][consumer]["conv"]["kernel"]
+            spec.append(((bk, consumer, "conv", "kernel"), 2,
+                         _shuffle_inv_perm(k.shape[2])))
+        k = params[bk]["dark5_sppf"]["cv1"]["conv"]["kernel"]
+        spec.append(((bk, "dark5_sppf", "cv1", "conv", "kernel"), 2,
+                     _shuffle_inv_perm(k.shape[2])))
+
+    for tap in ("feat1", "feat2"):
+        for mod in ("rgb", "nir"):
+            ca = params[f"cbam_{mod}_{tap}"]["channelattention"]
+            inv = _shuffle_inv_perm(ca["fc1"]["kernel"].shape[2])
+            spec.append(((f"cbam_{mod}_{tap}", "channelattention", "fc1",
+                          "kernel"), 2, inv))
+            spec.append(((f"cbam_{mod}_{tap}", "channelattention", "fc2",
+                          "kernel"), 3, inv))
+
+    # neck cv1s: concat is (p_up | feat_rgb | feat_nir); feat channel count
+    # read from the matching dark conv that consumes the same tap
+    for neck, featc in (("conv3_for_upsample2",
+                         params["backbone_rgb"]["dark4_conv"]["conv"]["kernel"].shape[2]),
+                        ("conv3_for_upsample1",
+                         params["backbone_rgb"]["dark5_conv"]["conv"]["kernel"].shape[2])):
+        k = params[neck]["cv1"]["conv"]["kernel"]
+        ctot = k.shape[2]
+        pc = ctot - 2 * featc
+        inv = _shuffle_inv_perm(featc)
+        rows = np.concatenate([np.arange(pc), pc + inv, pc + featc + inv])
+        spec.append(((neck, "cv1", "conv", "kernel"), 2, rows))
+    return spec
+
+
+def _take(leaf, idx, axis):
+    if isinstance(leaf, np.ndarray):
+        return np.take(leaf, idx, axis=axis)
+    return jnp.take(leaf, jnp.asarray(idx), axis=axis)
+
+
+def apply_shuffle_spec(tree, spec, inverse: bool = False):
+    """Apply (or invert) a `shuffle_fold_spec` to a params-structured tree.
+
+    Copy-on-write along each spec path; numpy leaves stay numpy (host-side
+    checkpoint transforms must not upload to a device).
+    """
+    out = dict(tree)
+    for path, axis, rows in spec:
+        idx = np.argsort(rows) if inverse else rows
+        node = out
+        for key in path[:-1]:
+            node[key] = dict(node[key])
+            node = node[key]
+        node[path[-1]] = _take(node[path[-1]], idx, axis)
+    return out
+
+
 def fold_shuffle_variables(variables):
     """Absorb the backbones' channel_shuffles into downstream weights.
 
@@ -111,62 +178,64 @@ def fold_shuffle_variables(variables):
         neck wiring at `nets/yolo_mul.py:428-443`), leaving the p_up rows.
 
     feat3 is tapped AFTER SPPF-CBAM (which absorbs dark5's shuffle at cv1), so
-    nothing downstream of feat3 changes.  Works on train-template or
-    deploy-fused variables (disjoint subtrees).  Numerics: exact up to
-    floating-point summation order inside the convs (input-channel reduction
-    order changes), pinned by tests/test_fold_shuffle.py.
+    nothing downstream of feat3 changes.  BN parameters/stats are untouched
+    everywhere: every permuted row is an INPUT-channel row of a consumer whose
+    BN normalizes its own (unpermuted) output channels.  Works on
+    train-template or deploy-fused variables (disjoint subtrees).  Numerics:
+    exact up to floating-point summation order inside the convs (input-channel
+    reduction order changes), pinned by tests/test_fold_shuffle.py.
     """
     import flax
 
     var_dict = flax.core.unfreeze(variables) if hasattr(variables, "unfreeze") else dict(variables)
-    params = jax.tree_util.tree_map(lambda a: a, var_dict["params"])  # copy leaves' container
-
-    def take(arr, idx, axis):
-        return jnp.take(arr, jnp.asarray(idx), axis=axis)
-
-    for bk in ("backbone_rgb", "backbone_nir"):
-        b = dict(params[bk])
-        for consumer in ("dark3_conv", "dark4_conv", "dark5_conv"):
-            node = dict(b[consumer]); conv = dict(node["conv"])
-            k = conv["kernel"]
-            conv["kernel"] = take(k, _shuffle_inv_perm(k.shape[2]), 2)
-            node["conv"] = conv; b[consumer] = node
-        sppf = dict(b["dark5_sppf"]); cv1 = dict(sppf["cv1"]); conv = dict(cv1["conv"])
-        k = conv["kernel"]
-        conv["kernel"] = take(k, _shuffle_inv_perm(k.shape[2]), 2)
-        cv1["conv"] = conv; sppf["cv1"] = cv1; b["dark5_sppf"] = sppf
-        params[bk] = b
-
-    for tap in ("feat1", "feat2"):
-        for mod in ("rgb", "nir"):
-            cb = dict(params[f"cbam_{mod}_{tap}"])
-            ca = dict(cb["channelattention"])
-            fc1 = dict(ca["fc1"]); fc2 = dict(ca["fc2"])
-            inv = _shuffle_inv_perm(fc1["kernel"].shape[2])
-            fc1["kernel"] = take(fc1["kernel"], inv, 2)
-            fc2["kernel"] = take(fc2["kernel"], inv, 3)
-            ca["fc1"], ca["fc2"] = fc1, fc2
-            cb["channelattention"] = ca
-            params[f"cbam_{mod}_{tap}"] = cb
-
-    # neck cv1s: concat is (p_up | feat_rgb | feat_nir); feat channel count
-    # read from the matching dark conv that consumes the same tap
-    for neck, featc in (("conv3_for_upsample2",
-                         params["backbone_rgb"]["dark4_conv"]["conv"]["kernel"].shape[2]),
-                        ("conv3_for_upsample1",
-                         params["backbone_rgb"]["dark5_conv"]["conv"]["kernel"].shape[2])):
-        node = dict(params[neck]); cv1 = dict(node["cv1"]); conv = dict(cv1["conv"])
-        k = conv["kernel"]
-        ctot = k.shape[2]
-        pc = ctot - 2 * featc
-        inv = _shuffle_inv_perm(featc)
-        rows = np.concatenate([np.arange(pc), pc + inv, pc + featc + inv])
-        conv["kernel"] = take(k, rows, 2)
-        cv1["conv"] = conv; node["cv1"] = cv1; params[neck] = node
-
     out = dict(var_dict)
-    out["params"] = params
+    out["params"] = apply_shuffle_spec(var_dict["params"],
+                                       shuffle_fold_spec(var_dict["params"]))
     return out
+
+
+def unfold_shuffle_variables(variables):
+    """Exact inverse of `fold_shuffle_variables` (bitwise: pure permutation).
+
+    Used by folded TRAINING (`train.py --fold-shuffle`) to write checkpoints
+    in the canonical (unfolded) layout: a folded tree has identical shapes to
+    an unfolded one, so a folded checkpoint would silently load into the
+    standard graph and compute the wrong function — every saved artifact must
+    therefore be unfolded back first.
+    """
+    import flax
+
+    var_dict = flax.core.unfreeze(variables) if hasattr(variables, "unfreeze") else dict(variables)
+    out = dict(var_dict)
+    out["params"] = apply_shuffle_spec(var_dict["params"],
+                                       shuffle_fold_spec(var_dict["params"]),
+                                       inverse=True)
+    return out
+
+
+def fold_opt_state(opt_state, spec, inverse: bool = False):
+    """Fold/unfold every params-structured subtree of an optax state.
+
+    Adam's mu/nu and SGD's momentum trace mirror the params tree leaf-for-leaf
+    and the optimizer update is elementwise, so training in the folded space
+    with folded moments is EXACTLY the unfolded trajectory, permuted
+    (grad-clip's global norm is permutation-invariant).  Walks tuples /
+    namedtuples (optax chain states) and applies the spec to any dict rooted
+    like a params tree; scalar leaves (Adam count, EmptyState) pass through.
+    """
+    def walk(node):
+        if isinstance(node, dict):
+            if "backbone_rgb" in node:
+                return apply_shuffle_spec(node, spec, inverse)
+            return {k: walk(v) for k, v in node.items()}
+        if isinstance(node, tuple):
+            vals = [walk(v) for v in node]
+            return type(node)(*vals) if hasattr(node, "_fields") else tuple(vals)
+        if isinstance(node, list):
+            return [walk(v) for v in node]
+        return node
+
+    return walk(opt_state)
 
 
 def deploy_variables(variables):

@@ -107,6 +107,16 @@ def parse_args():
     p.add_argument("--seed", type=int, default=11)
     p.add_argument("--compute-dtype", default="bfloat16",
                    choices=["float32", "bfloat16"])
+    p.add_argument("--fold-shuffle", action="store_true",
+                   help="train in the shuffle-folded space: the backbones' "
+                        "channel_shuffles (pure permutations = HBM relayout "
+                        "copies on TPU, fwd AND bwd, every step) are removed "
+                        "from the graph and absorbed into consumer weights "
+                        "(reparam.fold_shuffle_variables). The optimizer/EMA "
+                        "are elementwise, so the trajectory is EXACTLY the "
+                        "unfolded one (up to conv FP summation order); "
+                        "checkpoints are unfolded back to the canonical "
+                        "layout on save and re-folded on --resume")
     p.add_argument("--remat", action="store_true",
                    help="rematerialize the backbones in backward (jax.checkpoint):"
                         " ~15%% extra FLOPs for the activation memory that lets "
@@ -198,6 +208,16 @@ def main():
         variables["params"] = reference_weights_init(
             variables["params"], seed=args.seed, init_type=args.init_type)
 
+    fold_spec = None
+    if args.fold_shuffle:
+        from dcfa_yolo_tpu.models.reparam import (
+            apply_shuffle_spec, fold_opt_state, fold_shuffle_variables,
+            shuffle_fold_spec)
+
+        fold_spec = shuffle_fold_spec(variables["params"])
+        variables = jax.jit(fold_shuffle_variables)(variables)
+        model = DCFAYolo(cfg, fold_shuffle=True)
+
     with open(args.train_annotation, encoding="utf-8") as f:
         train_lines = f.readlines()
     with open(args.val_annotation, encoding="utf-8") as f:
@@ -251,6 +271,8 @@ def main():
                 epoch_length=tc.unfreeze_epoch, shuffle=True, seed=args.seed,
                 max_hbm_gb=args.device_aug_hbm_gb,
                 resample_dtype=_rdt,
+                out_dtype=(jnp.bfloat16
+                           if cfg.compute_dtype == "bfloat16" else None),
                 staged=_staged_cache.get("train"),
                 dev_data=_staged_cache.get("train_dev"))
             vl = DeviceAugLoader(
@@ -265,6 +287,8 @@ def main():
                 # train set already resident consumed
                 max_hbm_gb=(args.device_aug_hbm_gb
                             - tl.host_ds.images.nbytes / 1e9),
+                out_dtype=(jnp.bfloat16
+                           if cfg.compute_dtype == "bfloat16" else None),
                 staged=_staged_cache.get("val"),
                 dev_data=_staged_cache.get("val_dev"))
             if "train" not in _staged_cache:
@@ -300,10 +324,14 @@ def main():
     loss_history = LossHistory(log_dir)
 
     def predictor_factory(vars_, conf, nms_iou, max_boxes):
+        # under --fold-shuffle the trainer's EMA variables arrive pre-folded,
+        # matching the predictor's fold_shuffle graph (its contract: caller
+        # -supplied variables must match the chosen graph)
         return YOLOPredictor(class_names=class_names, input_shape=cfg.input_shape,
                              phi=args.phi, confidence=conf, nms_iou=nms_iou,
                              max_det=max_boxes, variables=vars_,
-                             compute_dtype=args.compute_dtype)
+                             compute_dtype=args.compute_dtype,
+                             fold_shuffle=args.fold_shuffle)
 
     eval_cb = EvalCallback(predictor_factory, class_names, val_lines, log_dir,
                            eval_flag=not args.no_eval, period=args.eval_period,
@@ -324,13 +352,22 @@ def main():
         from dcfa_yolo_tpu.train.trainer import TrainState
         from dcfa_yolo_tpu.utils.checkpoint import restore_into
 
+        rp_params = resume_payload["params"]
+        rp_ema = resume_payload["ema"]
+        rp_opt = resume_payload["opt_state"]
+        if args.fold_shuffle:
+            # checkpoints are canonical (unfolded); re-enter the folded space
+            rp_params = apply_shuffle_spec(rp_params, fold_spec)
+            rp_ema = dict(rp_ema)
+            rp_ema["params"] = apply_shuffle_spec(rp_ema["params"], fold_spec)
+            rp_opt = fold_opt_state(rp_opt, fold_spec)
         st = trainer.state
         trainer.state = TrainState(
-            params=restore_into(st.params, resume_payload["params"]),
+            params=restore_into(st.params, rp_params),
             batch_stats=restore_into(st.batch_stats, resume_payload["batch_stats"]),
-            opt_state=restore_into(st.opt_state, resume_payload["opt_state"]),
+            opt_state=restore_into(st.opt_state, rp_opt),
             ema=EMAState(
-                variables=restore_into(st.ema.variables, resume_payload["ema"]),
+                variables=restore_into(st.ema.variables, rp_ema),
                 updates=st.ema.updates),
         )
 
@@ -438,6 +475,18 @@ def main():
         host_state = jax.device_get(
             {"params": st.params, "batch_stats": st.batch_stats,
              "ema": st.ema.variables, "opt_state": st.opt_state})
+        if args.fold_shuffle:
+            # checkpoints stay canonical: a folded tree has identical shapes,
+            # so it would silently load into the standard graph and compute
+            # the wrong function — unfold every params-shaped subtree (host
+            # numpy; np.take per permuted leaf, a few ms)
+            host_state["params"] = apply_shuffle_spec(
+                host_state["params"], fold_spec, inverse=True)
+            host_state["ema"] = dict(host_state["ema"])
+            host_state["ema"]["params"] = apply_shuffle_spec(
+                host_state["ema"]["params"], fold_spec, inverse=True)
+            host_state["opt_state"] = fold_opt_state(
+                host_state["opt_state"], fold_spec, inverse=True)
         payload = {
             **host_state,
             "ema_updates": int(st.ema.updates),
