@@ -36,6 +36,19 @@ class ModelConfig:
     # large batch — b128 640² with the HBM-staged dataset (data/device_aug.py)
     # only fits with this on.  Numerically identical (tests/test_remat.py).
     remat: bool = False
+    # Train-mode stem backend: "xla" (ConvMaxpool as separate conv/BN/pool
+    # ops) or "pallas" (ops/pallas_stem_train.py: ONE kernel pass emitting
+    # pooled extrema + BN stat sums — the full-resolution conv output never
+    # touches HBM).  Pallas supports phi='n' (16 stem channels), H%16==0,
+    # single-device or shard_map(axis_name) execution; parameter tree is
+    # identical, so checkpoints are interchangeable.
+    train_stem_backend: str = "xla"
+    # Pallas interpret mode for the train stem: None = auto (interpret
+    # everywhere except a real TPU backend).  Deviceless AOT lowering for TPU
+    # targets MUST pass False — the auto heuristic sees the CPU host backend
+    # and would silently bake interpret mode into the compiled program (same
+    # pitfall as infer/pipeline.detect_batch(stem_interpret=...)).
+    train_stem_interpret: Optional[bool] = None
 
     @property
     def depth_mul(self) -> float:

@@ -421,7 +421,7 @@ def _merge_quadrants(boxes, valid, cutx, cuty):
 
 
 def make_device_augment(out_hw: Tuple[int, int], max_boxes: int = 64,
-                        resample_dtype=None):
+                        resample_dtype=None, out_dtype=None):
     """Build the jittable augmentation program.
 
     Returns ``augment(images_u8, boxes_norm, nbox, params) ->
@@ -530,7 +530,11 @@ def make_device_augment(out_hw: Tuple[int, int], max_boxes: int = 64,
         msk = jnp.take(fval, keep).astype(jnp.float32)
         gt_boxes = sel[:, :4] * msk[:, None]
         gt_labels = sel[:, 4] * msk
-        return out[0], out[1], gt_boxes, gt_labels, msk
+        # emitting the model's compute dtype fuses the cast into the aug's
+        # last kernel and halves the staged Batch image buffers — the model
+        # casts its inputs to compute dtype anyway (bit-identical)
+        odt = out_dtype or jnp.float32
+        return out[0].astype(odt), out[1].astype(odt), gt_boxes, gt_labels, msk
 
     def augment(images_u8, boxes_norm, nbox, idx, p: GeomParams):
         tiles = jnp.take(images_u8, idx.reshape(-1), axis=0).reshape(
@@ -569,7 +573,8 @@ class DeviceAugLoader:
                  special_aug_ratio: float = 0.7, epoch_length: int = 200,
                  shuffle: bool = True, drop_last: bool = True, seed: int = 11,
                  max_hbm_gb: float = 8.0, resample_dtype=None,
-                 staged: Optional[StagedDataset] = None, dev_data=None):
+                 out_dtype=None, staged: Optional[StagedDataset] = None,
+                 dev_data=None):
         import jax
         from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -605,7 +610,8 @@ class DeviceAugLoader:
             self.dev_boxes = jax.device_put(ds.boxes, self._rep)
             self.dev_nbox = jax.device_put(ds.nbox, self._rep)
         aug = make_device_augment(tuple(input_shape), max_boxes,
-                                  resample_dtype=resample_dtype)
+                                  resample_dtype=resample_dtype,
+                                  out_dtype=out_dtype)
         self._aug = jax.jit(
             aug,
             in_shardings=(self._rep, self._rep, self._rep, self._dat,

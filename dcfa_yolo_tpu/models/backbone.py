@@ -18,6 +18,8 @@ class Backbone(nn.Module):
     base_channels: int
     deep_channels: int
     fold_shuffle: bool = False  # serving graph with channel_shuffles removed
+    stem_backend: str = "xla"   # "pallas": fused train stem (blocks.ConvMaxpool)
+    stem_interpret: Optional[bool] = None
     axis_name: Optional[str] = None
     dtype: Any = jnp.float32
 
@@ -35,7 +37,9 @@ class Backbone(nn.Module):
             # stem submodules' params stay in the tree, just unread here
             x = stem_out.astype(self.dtype)
         else:
-            x = ConvMaxpool(bc, name="stem", **kw)(x, train=train)
+            x = ConvMaxpool(bc, backend=self.stem_backend,
+                            stem_interpret=self.stem_interpret,
+                            name="stem", **kw)(x, train=train)
 
         x = ConvBnAct(bc * 2, 3, 2, name="dark2_conv", **kw)(x, train=train)
         x = ShuffleNetV2Block(bc * 2, stride=1, name="dark2_shuffle", **skw)(x, train=train)

@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from typing import Any, Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -69,22 +70,102 @@ class CBAM(nn.Module):
         return x
 
 
+class _StemConvParam(nn.Module):
+    """Declares exactly nn.Conv's kernel param (same path/shape/init) so the
+    fused stem backend stays checkpoint-identical to the XLA one."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, cin: int) -> jnp.ndarray:
+        return self.param("kernel", nn.initializers.lecun_normal(),
+                          (3, 3, cin, self.features), jnp.float32)
+
+
+class _StemBnParam(nn.Module):
+    """Declares exactly TorchExactBatchNorm's params/stats (ops/norm.py)."""
+
+    @nn.compact
+    def __call__(self, features: int):
+        scale = self.param("scale", nn.initializers.ones, (features,),
+                           jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (features,),
+                          jnp.float32)
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda s: jnp.zeros(s, jnp.float32),
+                                (features,))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda s: jnp.ones(s, jnp.float32),
+                               (features,))
+        return scale, bias, ra_mean, ra_var
+
+
 class ConvMaxpool(nn.Module):
     """Stem: 3x3 s1 conv + default-BN + ReLU, then 3x3 s2 maxpool
-    (`nets/yolo_mul.py:104-115`)."""
+    (`nets/yolo_mul.py:104-115`).
+
+    backend="pallas" (train graphs): the whole stem runs as ONE Pallas kernel
+    pass per modality (ops/pallas_stem_train.py) — conv extrema are pooled
+    and BN stat sums accumulated without ever materializing the
+    full-resolution conv output in HBM.  The parameter/batch-stats tree is
+    bit-identical to the XLA backend (declared via the param holders above),
+    so checkpoints are interchangeable.  Eval mode under the pallas backend
+    mirrors the XLA eval math op-for-op (serving uses the dedicated eval
+    kernel in ops/pallas_stem.py at the pipeline level instead).
+    """
 
     features: int
     axis_name: Optional[str] = None
     dtype: Any = jnp.float32
+    backend: str = "xla"
+    # None = auto: interpret everywhere but a real TPU backend.  Deviceless
+    # AOT lowerings for TPU must pass False explicitly (config.py docstring).
+    stem_interpret: Optional[bool] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        if self.backend == "pallas":
+            return self._fused(x, train)
         x = torch_conv(self.features, 3, 1, use_bias=False, dtype=self.dtype,
                        name="conv")(x)
         x = torch_batchnorm(axis_name=self.axis_name, dtype=self.dtype,
                             name="bn")(x, use_running_average=not train)
         x = nn.relu(x)
         return max_pool_same(x, kernel=3, stride=2)
+
+    def _fused(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
+        from dcfa_yolo_tpu.ops.pallas_stem_train import fused_train_stem
+
+        kernel = _StemConvParam(self.features, name="conv")(x.shape[-1])
+        scale, bias, ra_mean, ra_var = _StemBnParam(name="bn")(self.features)
+        x = x.astype(self.dtype)
+        eps = 1e-5  # stem BN is the torch-default flavour (ops/conv.py)
+        if train:
+            interpret = (jax.default_backend() != "tpu"
+                         if self.stem_interpret is None else
+                         self.stem_interpret)
+            y, mean, var = fused_train_stem(x, kernel, scale, bias, eps,
+                                            self.axis_name, interpret)
+            if not self.is_initializing():
+                # running update mirrors ops/norm.py:68-73 (torch momentum,
+                # Bessel-corrected variance)
+                n = float(x.shape[0] * x.shape[1] * x.shape[2])
+                if self.axis_name is not None:
+                    n = n * jax.lax.psum(1, self.axis_name)
+                m = 0.1
+                bessel = n / jnp.maximum(n - 1.0, 1.0)
+                ra_mean.value = (1.0 - m) * ra_mean.value + m * mean
+                ra_var.value = (1.0 - m) * ra_var.value + m * var * bessel
+            return y
+        # eval: the XLA eval fast path, op-for-op (ops/norm.py:47-57)
+        c = jax.lax.conv_general_dilated(
+            x, kernel.astype(self.dtype), (1, 1), [(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        inv = jax.lax.rsqrt(ra_var.value + eps) * scale
+        shift = bias - ra_mean.value * inv
+        c = (c * inv.astype(self.dtype)
+             + shift.astype(self.dtype)).astype(self.dtype)
+        return max_pool_same(nn.relu(c), kernel=3, stride=2)
 
 
 def channel_shuffle(x: jnp.ndarray, groups: int = 2) -> jnp.ndarray:

@@ -133,7 +133,9 @@ class DCFAYolo(nn.Module):
             Bk = (nn.remat(Backbone, static_argnums=(2,)) if cfg.remat and train
                   else Backbone)
             stem_rgb, stem_nir = stem_outs if stem_outs is not None else (None, None)
-            bkw = dict(fold_shuffle=self.fold_shuffle, **kw)
+            bkw = dict(fold_shuffle=self.fold_shuffle,
+                       stem_backend=cfg.train_stem_backend,
+                       stem_interpret=cfg.train_stem_interpret, **kw)
             feat1_rgb, feat2_rgb, feat3_rgb = Bk(bc, deep, name="backbone_rgb", **bkw)(
                 rgb, train, stem_rgb)
             feat1_nir, feat2_nir, feat3_nir = Bk(bc, deep, name="backbone_nir", **bkw)(

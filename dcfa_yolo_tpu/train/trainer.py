@@ -276,6 +276,14 @@ class Trainer:
             is_cpu = self.mesh.devices.flatten()[0].platform == "cpu"
             step_mode = "split" if (is_cpu and n_dev > 1) else "fused"
         self.step_mode = step_mode
+        if (model.cfg.train_stem_backend == "pallas" and n_dev > 1
+                and step_mode == "fused"):
+            # the fused (GSPMD) step can't auto-partition a Mosaic
+            # custom-call; the split step runs the kernel per-shard instead
+            raise ValueError(
+                "train_stem_backend='pallas' on a multi-device mesh requires "
+                "step_mode='split' (shard_map runs the stem kernel per "
+                "shard); the fused GSPMD step cannot partition it")
         self.criterion = YoloLoss(self.cfg, train_cfg)
         self.tx = build_optimizer(train_cfg, variables["params"], train_bifpn)
         self.pack_state = pack_state and step_mode == "fused"
@@ -505,6 +513,14 @@ class Trainer:
     # ------------------------------------------------------------------
     def put_batch(self, rgb, nir, gt_boxes, gt_labels, gt_mask) -> Batch:
         sh = data_sharding(self.mesh)
+        # host-cast images to the compute dtype: the model casts its inputs
+        # anyway (bit-identical), and shipping bf16 halves both the H2D
+        # transfer and the staged image buffers, and deletes the in-step
+        # f32→bf16 convert passes (2×118 MB at b16 640²)
+        cdt = (jnp.bfloat16 if self.cfg.compute_dtype == "bfloat16"
+               else jnp.float32)
+        rgb = np.asarray(rgb).astype(cdt)
+        nir = np.asarray(nir).astype(cdt)
         return Batch(*[jax.device_put(np.asarray(x), sh)
                        for x in (rgb, nir, gt_boxes, gt_labels, gt_mask)])
 

@@ -7,6 +7,9 @@ chips.  Informs whether a differentiable fused stem / other byte cuts are
 worth building for training.
 
 Usage: python tools/train_traffic_aot.py [batch] [size]   (defaults 16, 640)
+Env: DCFA_TRAIN_FOLD=1 measures the shuffle-folded train graph
+(train.py --fold-shuffle): shuffles are pure permutations = relayout copies
+fwd AND bwd every step; folding absorbs them into consumer weights.
 """
 
 from __future__ import annotations
@@ -40,9 +43,23 @@ def main():
     from dcfa_yolo_tpu.train.optim import build_optimizer
     from dcfa_yolo_tpu.train.trainer import Batch, TrainState, make_train_step
 
+    fold = os.environ.get("DCFA_TRAIN_FOLD", "0") == "1"
+    stem = os.environ.get("DCFA_TRAIN_STEM", "xla")
+    remat = os.environ.get("DCFA_TRAIN_REMAT", "0") == "1"
     cfg = ModelConfig(num_classes=1, phi="n", input_shape=(size, size),
-                      compute_dtype="bfloat16")
+                      compute_dtype="bfloat16", remat=remat)
     model, variables = init_model(cfg, jax.random.PRNGKey(0))
+    if stem == "pallas":
+        # identical param tree, so init with the XLA stem and swap the step
+        # graph; interpret MUST be pinned False for a TPU AOT target
+        import dataclasses
+        cfg = dataclasses.replace(cfg, train_stem_backend="pallas",
+                                  train_stem_interpret=False)
+        model = DCFAYolo(cfg)
+    if fold:
+        from dcfa_yolo_tpu.models.reparam import fold_shuffle_variables
+        variables = fold_shuffle_variables(variables)
+        model = DCFAYolo(cfg, fold_shuffle=True)
     tcfg = TrainConfig()
     criterion = YoloLoss(cfg)
     tx = build_optimizer(tcfg, variables["params"])
@@ -57,9 +74,12 @@ def main():
 
     state_s = jax.tree_util.tree_map(
         lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype, sharding=shr), state)
+    # images arrive in the compute dtype (Trainer.put_batch / device-aug
+    # out_dtype host-cast) — the in-step f32→bf16 converts are gone
+    img_dt = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
     batch_s = Batch(
-        rgb=jax.ShapeDtypeStruct((batch, size, size, 3), jnp.float32, sharding=shr),
-        nir=jax.ShapeDtypeStruct((batch, size, size, 3), jnp.float32, sharding=shr),
+        rgb=jax.ShapeDtypeStruct((batch, size, size, 3), img_dt, sharding=shr),
+        nir=jax.ShapeDtypeStruct((batch, size, size, 3), img_dt, sharding=shr),
         gt_boxes=jax.ShapeDtypeStruct((batch, 64, 4), jnp.float32, sharding=shr),
         gt_labels=jax.ShapeDtypeStruct((batch, 64), jnp.int32, sharding=shr),
         gt_mask=jax.ShapeDtypeStruct((batch, 64), jnp.bool_, sharding=shr),
@@ -68,7 +88,9 @@ def main():
 
     comp = jax.jit(step).lower(state_s, batch_s, lr_s).compile()
     ca = comp.cost_analysis()
-    print(f"train step b{batch} {size}^2 bf16 (v5e AOT): "
+    print(f"train step b{batch} {size}^2 bf16{' FOLDED' if fold else ''}"
+          f"{' PALLAS-STEM' if stem == 'pallas' else ''}"
+          f"{' REMAT' if remat else ''} (v5e AOT): "
           f"{ca['bytes accessed'] / 1e9:.2f} GB/step accessed, "
           f"{ca['flops'] / 1e9:.0f} GFLOP", flush=True)
 

@@ -121,6 +121,13 @@ def parse_args():
                    help="rematerialize the backbones in backward (jax.checkpoint):"
                         " ~15%% extra FLOPs for the activation memory that lets "
                         "b128 640^2 fit HBM beside the --device-aug staged dataset")
+    p.add_argument("--train-stem", default="xla", choices=["xla", "pallas"],
+                   help="stem backend for the train graph: 'pallas' fuses "
+                        "each backbone's conv+BN+ReLU+maxpool stem into ONE "
+                        "kernel pass (ops/pallas_stem_train.py) so the "
+                        "full-resolution conv output never touches HBM; "
+                        "checkpoint-identical to 'xla' (phi=n, single-device "
+                        "or split step mode)")
     p.add_argument("--profile-dir", default="",
                    help="capture a jax.profiler trace of the first epoch here")
     p.add_argument("--distributed", action="store_true",
@@ -158,7 +165,8 @@ def main():
     class_names, num_classes = get_classes(args.classes_path)
     cfg = ModelConfig(num_classes=num_classes, phi=args.phi,
                       input_shape=tuple(args.input_shape),
-                      compute_dtype=args.compute_dtype, remat=args.remat)
+                      compute_dtype=args.compute_dtype, remat=args.remat,
+                      train_stem_backend=args.train_stem)
     tc = TrainConfig(
         seed=args.seed, init_epoch=args.init_epoch, freeze_epoch=args.freeze_epoch,
         unfreeze_epoch=args.unfreeze_epoch, freeze_train=args.freeze_train,
