@@ -47,7 +47,11 @@ def test_export_roundtrip_matches_pipeline():
                         jnp.asarray(rgb), jnp.asarray(nir), jnp.asarray(hw),
                         conf_thres=0.01, iou_thres=0.5, letterbox=True,
                         max_det=20, nms_backend="xla")
+    # atol 1e-4: the exported artifact bakes weights in as constants, so
+    # XLA:CPU may constant-fold/fuse differently than the in-process jit —
+    # measured FP-level divergence up to ~8e-6 on box coords (sub-micropixel;
+    # flaked at rtol/atol 1e-6 under host load, including at a clean HEAD)
     for a, b in zip(jax.tree_util.tree_leaves(want),
                     jax.tree_util.tree_leaves(got)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=1e-6, atol=1e-6)
+                                   rtol=1e-5, atol=1e-4)
