@@ -189,6 +189,57 @@ def _stem_pool_stats(x_cf: jnp.ndarray, wd: jnp.ndarray, interpret: bool):
     )(x_cf, wd)
 
 
+@functools.lru_cache(maxsize=None)
+def _partitionable_stem_train(interpret: bool):
+    """GSPMD wrapper for the fused-step (SyncBN) multi-device path: the
+    kernel is batch-parallel, and the stat sums are psum'd across the batch
+    shards inside the partition body — so `jnp`-level code downstream sees
+    GLOBAL sums and global-batch BN falls out exactly like the XLA stem's
+    GSPMD SyncBN (ops/norm.py:15-17).  Mirrors the serving stem's
+    `_partitionable_stem` (ops/pallas_stem.py), plus the reduction."""
+    from jax.experimental.custom_partitioning import custom_partitioning
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    fn = custom_partitioning(lambda x, w: _stem_pool_stats(x, w, interpret))
+
+    def _bshard(sharding, ndim):
+        spec0 = sharding.spec[0] if len(sharding.spec) else None
+        return NamedSharding(sharding.mesh, P(spec0, *([None] * (ndim - 1))))
+
+    def _repl(mesh, ndim):
+        return NamedSharding(mesh, P(*([None] * ndim)))
+
+    def infer_sharding_from_operands(mesh, arg_shapes, result_shape):
+        xsh = arg_shapes[0].sharding
+        return (_bshard(xsh, 4), _bshard(xsh, 4), _repl(xsh.mesh, 2))
+
+    def partition(mesh, arg_shapes, result_shape):
+        xsh = arg_shapes[0].sharding
+        axis = xsh.spec[0]
+
+        def lower(x, w):
+            pmax, pmin, sums = _stem_pool_stats(x, w, interpret)
+            if axis is not None:
+                sums = jax.lax.psum(sums, axis)  # per-shard → global sums
+            return pmax, pmin, sums
+
+        return (mesh, lower,
+                (_bshard(xsh, 4), _bshard(xsh, 4), _repl(mesh, 2)),
+                (_bshard(xsh, 4), _repl(mesh, 4)))
+
+    fn.def_partition(
+        infer_sharding_from_operands=infer_sharding_from_operands,
+        partition=partition,
+        # Shardy rule: only the image batch dim is elementwise; the stat-sums
+        # output (t, u) is a cross-batch reduction, kept whole per shard and
+        # psum'd in the partition body
+        sharding_rule="b c h w, p q k m -> b e s g, b e s g, t u",
+        need_replication_factors=("c", "h", "w", "p", "q", "k", "m",
+                                  "e", "s", "g", "t", "u"),
+    )
+    return fn
+
+
 def _stats_to_moments(sums: jnp.ndarray, n, axis_name: Optional[str]):
     """(128, 2) per-m sums → per-channel (mean, mean2, var); m = t*16 + co
     so per-co totals are sums over the 8 t-slots.  Under shard_map SyncBN the
@@ -252,8 +303,18 @@ def _fused_fwd_impl(x, kernel, gamma, beta, eps, axis_name, interpret):
     x_cf = jnp.pad(jnp.transpose(x, (0, 3, 1, 2)),
                    ((0, 0), (0, 0), (1, 1), (1, 1)))
     wd = pack_train_kernel(kernel, ct)
-    pmax, pmin, sums = _stem_pool_stats(x_cf, wd, interpret)
-    # local-shard mean first, then pmean — exactly ops/norm.py:61-66
+    if axis_name is None and len(jax.devices()) > 1:
+        # fused GSPMD (SyncBN) path: batch-partitionable kernel with the stat
+        # sums psum'd per shard, so `sums` is GLOBAL here.  Under shard_map
+        # (axis_name set) the caller IS the shard — call the kernel directly;
+        # likewise with one device (and custom_partitioning needs a live
+        # backend, which AOT/chipless compilers can't provide — they use the
+        # XLA stem).
+        pmax, pmin, sums = _partitionable_stem_train(interpret)(x_cf, wd)
+    else:
+        pmax, pmin, sums = _stem_pool_stats(x_cf, wd, interpret)
+    # local-shard mean first, then pmean — exactly ops/norm.py:61-66 (under
+    # the GSPMD path `sums`/n are both global, so this is the global mean)
     mean, _, var = _stats_to_moments(sums, b * h * w, axis_name)
     scale = gamma * lax.rsqrt(var + eps)               # (16,) f32
     shift = beta - mean * scale

@@ -276,14 +276,11 @@ class Trainer:
             is_cpu = self.mesh.devices.flatten()[0].platform == "cpu"
             step_mode = "split" if (is_cpu and n_dev > 1) else "fused"
         self.step_mode = step_mode
-        if (model.cfg.train_stem_backend == "pallas" and n_dev > 1
-                and step_mode == "fused"):
-            # the fused (GSPMD) step can't auto-partition a Mosaic
-            # custom-call; the split step runs the kernel per-shard instead
-            raise ValueError(
-                "train_stem_backend='pallas' on a multi-device mesh requires "
-                "step_mode='split' (shard_map runs the stem kernel per "
-                "shard); the fused GSPMD step cannot partition it")
+        # train_stem_backend='pallas' works in every mode: the fused GSPMD
+        # step partitions the kernel batch-parallel with psum'd stat sums
+        # (ops/pallas_stem_train.py::_partitionable_stem_train, live backends
+        # only — deviceless AOT lowerings use the XLA stem), and the split
+        # step runs it per-shard under shard_map with axis_name SyncBN.
         self.criterion = YoloLoss(self.cfg, train_cfg)
         self.tx = build_optimizer(train_cfg, variables["params"], train_bifpn)
         self.pack_state = pack_state and step_mode == "fused"

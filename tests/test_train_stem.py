@@ -144,6 +144,28 @@ def test_bf16_rounding_semantics():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 2, reason="needs a multi-device mesh")
+def test_gspmd_batch_sharded_matches_global():
+    """The fused-step (GSPMD SyncBN) path: batch-sharded jit over a 2-device
+    mesh routes through custom_partitioning (per-shard kernels + psum'd stat
+    sums) and must reproduce the global-batch result."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    x, k, gamma, beta = _data(seed=5, b=4)
+    mesh = Mesh(np.array(jax.devices()[:2]), ("dp",))
+    xs = jax.device_put(x, NamedSharding(mesh, P("dp")))
+
+    y_s, m_s, v_s = jax.jit(
+        lambda *a: fused_train_stem(*a, EPS, None, True))(xs, k, gamma, beta)
+    # reference: the plain decomposition on the unsharded batch
+    y_g, m_g, v_g = jax.jit(
+        lambda *a: _reference_stem(*a, EPS, None))(x, k, gamma, beta)
+    np.testing.assert_allclose(np.asarray(m_s), np.asarray(m_g), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(v_s), np.asarray(v_g), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(y_s), np.asarray(y_g),
+                               rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 2, reason="needs a multi-device mesh")
 def test_shard_map_syncbn_matches_global():
     """axis_name SyncBN over 2 shards == single-device global batch."""
     from jax.sharding import Mesh, PartitionSpec as P
