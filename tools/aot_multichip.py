@@ -46,7 +46,7 @@ def count_collectives(hlo_text: str) -> dict:
     return ops
 
 
-def build_step(cfg, tc):
+def build_step(cfg, tc, fold_shuffle=False):
     import jax
 
     from dcfa_yolo_tpu.models.yolo import DCFAYolo, init_model
@@ -55,7 +55,7 @@ def build_step(cfg, tc):
     from dcfa_yolo_tpu.train.loss import YoloLoss
     from dcfa_yolo_tpu.train.trainer import make_flat_train_step
 
-    model = DCFAYolo(cfg)
+    model = DCFAYolo(cfg, fold_shuffle=fold_shuffle)
     var_struct = jax.eval_shape(
         lambda k: init_model(cfg, k)[1], jax.random.PRNGKey(0))
     factors = build_factors(var_struct["params"], var_struct["batch_stats"])
@@ -76,6 +76,10 @@ def main():
     p.add_argument("--optimizer", default="sgd", choices=["sgd", "adam"])
     p.add_argument("--serve", action="store_true",
                    help="also AOT-compile the batched serving pipeline")
+    p.add_argument("--fold-shuffle", action="store_true",
+                   help="compile the FOLDED train graph (train.py "
+                        "--fold-shuffle): channel_shuffles removed, weights "
+                        "pre-permuted — same shapes, different step program")
     p.add_argument("--out", default=os.path.join(REPO, "MULTICHIP_AOT.json"))
     args = p.parse_args()
     if args.quick:
@@ -103,7 +107,7 @@ def main():
                       input_shape=tuple(args.input_shape),
                       compute_dtype="bfloat16")
     tc = TrainConfig(batch_size=args.batch, optimizer_type=args.optimizer)
-    step, factors, opt_struct = build_step(cfg, tc)
+    step, factors, opt_struct = build_step(cfg, tc, args.fold_shuffle)
 
     rep = NamedSharding(mesh, P())
     dat = NamedSharding(mesh, P("data"))
@@ -148,6 +152,7 @@ def main():
         "global_batch": args.batch,
         "input_shape": list(args.input_shape),
         "optimizer": args.optimizer,
+        "fold_shuffle": bool(args.fold_shuffle),
         "train_step": {
             "compiled": True,
             "collectives": colls,
