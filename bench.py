@@ -135,8 +135,8 @@ def main() -> None:
 
         candidates = ["xla"]
         try:
-            if _stem_backend_resolve("pallas", cfg):
-                candidates.append("pallas")
+            _stem_backend_resolve("pallas", cfg)
+            candidates += ["pallas", "pallas_d"]
         except ValueError:
             pass
         times = {}

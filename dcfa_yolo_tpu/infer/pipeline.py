@@ -21,45 +21,60 @@ from dcfa_yolo_tpu.ops.nms import NMSResult, batched_nms
 from dcfa_yolo_tpu.ops.resize import letterbox_batch
 
 
-def _stem_backend_resolve(stem_backend: str, cfg: ModelConfig) -> bool:
-    """Decide whether the fused Pallas stem (ops/pallas_stem.py) handles the
-    conv3x3+BN+ReLU+maxpool stems.  'auto' enables it exactly where it is a
-    pure speed win: TPU backend, bf16 compute, phi with 16 stem channels, and
-    an input shape the kernel's 16-row grouping supports."""
+def _stem_backend_resolve(stem_backend: str, cfg: ModelConfig,
+                          batch: int = 0) -> str:
+    """Decide which stem implements the conv3x3+BN+ReLU+maxpool stems:
+    'xla', 'pallas' (ops/pallas_stem.py v2, gather deinterleave) or
+    'pallas_d' (v3, gather-free deinterleaved-canvas input).  'auto' picks a
+    Pallas kernel exactly where it is a pure speed win: TPU backend, bf16
+    compute, phi with 16 stem channels, an input shape the kernel's 16-row
+    grouping supports, and a batch where the kernel measured faster."""
     if stem_backend == "xla":
-        return False
+        return "xla"
     eligible = (cfg.base_channels == 16
                 and cfg.compute_dtype == "bfloat16"
                 and cfg.input_shape[0] % 16 == 0
                 and cfg.input_shape[1] % 2 == 0)
-    if stem_backend == "pallas":
+    if stem_backend in ("pallas", "pallas_d"):
         if not eligible:
             raise ValueError(
-                "stem_backend='pallas' needs base_channels=16, bf16 compute, "
-                f"H%16==0: cfg has base_channels={cfg.base_channels}, "
+                f"stem_backend='{stem_backend}' needs base_channels=16, bf16 "
+                f"compute, H%16==0: cfg has base_channels={cfg.base_channels}, "
                 f"compute_dtype={cfg.compute_dtype}, "
                 f"input_shape={cfg.input_shape}")
-        return True
+        return stem_backend
     assert stem_backend == "auto", stem_backend
-    # 'auto' stays on the XLA stem until the Pallas kernel measures FASTER on
-    # the real chip (v1 measured slower; v2's aligned re-pack is unproven —
-    # tools/stem_pallas_ab.py is the gate). Flip here once it wins.
-    return False
+    # 'auto', measured on the v5e (tools/serve_ab_matrix.py, 640², fold):
+    # the Pallas stem wins BIG at small batch — b1 latency 4.14 → 2.21 ms
+    # (the full-res XLA stem kernels are per-launch-latency-bound at b1) —
+    # and v2 loses ~2% at b128 (0.439 vs 0.430 ms/pair: its per-vreg gather
+    # deinterleave eats the byte win; the gather-free v3 is being timed).
+    # Until the b8-b32 crossover run lands, the threshold is conservative:
+    # batch ≤ 8 → kernel stem.  bench.py's stem autotune re-decides
+    # empirically per chip either way.
+    if jax.default_backend() == "tpu" and eligible and 0 < batch <= 8:
+        return "pallas"
+    return "xla"
 
 
 def _pallas_stem_outs(variables, rgb, nir, in_hw, letterbox: bool,
-                      interpret=None):
+                      interpret=None, variant: str = "pallas"):
     """Letterbox to the kernel's channels-first zero-bordered contract and run
     the fused stem for both modalities.  Returns NHWC /2-pooled maps.
+    variant 'pallas' = v2 (plain bordered canvas); 'pallas_d' = v3
+    (column-deinterleaved canvas, folded into the letterbox matrices).
 
     interpret=None uses Pallas interpret mode unless the DEFAULT backend is
     TPU.  That heuristic is wrong for deviceless XLA:TPU AOT compiles
     (jax.experimental.topologies with a cpu default backend) — those must pass
     interpret=False explicitly or they silently lower the interpret-mode
     emulation instead of the Mosaic kernel (tools/serve_traffic_aot.py does)."""
-    from dcfa_yolo_tpu.ops.pallas_stem import fold_stem_params, pallas_stem
-    from dcfa_yolo_tpu.ops.resize import letterbox_batch_cf, resize_bicubic
+    from dcfa_yolo_tpu.ops.pallas_stem import (
+        fold_stem_params, fold_stem_params_d, pallas_stem, pallas_stem_d)
+    from dcfa_yolo_tpu.ops.resize import (
+        deinterleave_cols_cf, letterbox_batch_cf, resize_bicubic)
 
+    deint = variant == "pallas_d"
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
@@ -85,20 +100,30 @@ def _pallas_stem_outs(variables, rgb, nir, in_hw, letterbox: bool,
     for img, bk, mod in ((rgb, "backbone_rgb", 0), (nir, "backbone_nir", 1)):
         if img.shape[1:3] != tuple(in_hw):
             if letterbox:
-                x_cf = letterbox_batch_cf(img, in_hw)
+                x_cf = letterbox_batch_cf(img, in_hw,
+                                          deinterleave_cols=deint)
             else:
                 x = jnp.clip(jnp.round(resize_bicubic(
                     img.astype(jnp.float32), in_hw)), 0, 255)
                 x_cf = jnp.pad(jnp.transpose(x, (0, 3, 1, 2)),
                                ((0, 0), (0, 0), (1, 1), (1, 1)))
+                if deint:
+                    x_cf = deinterleave_cols_cf(x_cf)
         else:
             x_cf = jnp.pad(
                 jnp.transpose(img.astype(jnp.float32), (0, 3, 1, 2)),
                 ((0, 0), (0, 0), (1, 1), (1, 1)))
-        wd, bias = fold_stem_params(
-            *stem_params(None if paired else bk, mod))
-        so = pallas_stem(x_cf.astype(jnp.bfloat16), wd, bias,
-                         interpret=interpret)
+            if deint:
+                x_cf = deinterleave_cols_cf(x_cf)
+        params = stem_params(None if paired else bk, mod)
+        if deint:
+            wd, bias = fold_stem_params_d(*params)
+            so = pallas_stem_d(x_cf.astype(jnp.bfloat16), wd, bias,
+                               w=in_hw[1], interpret=interpret)
+        else:
+            wd, bias = fold_stem_params(*params)
+            so = pallas_stem(x_cf.astype(jnp.bfloat16), wd, bias,
+                             interpret=interpret)
         outs.append(jnp.transpose(so, (0, 1, 3, 2)))  # → NHWC
     return tuple(outs)
 
@@ -130,9 +155,10 @@ def detect_batch(
     """
     cfg = model.cfg
     in_hw = cfg.input_shape
-    if _stem_backend_resolve(stem_backend, cfg):
+    stem = _stem_backend_resolve(stem_backend, cfg, batch=rgb.shape[0])
+    if stem != "xla":
         stem_outs = _pallas_stem_outs(variables, rgb, nir, in_hw, letterbox,
-                                      interpret=stem_interpret)
+                                      interpret=stem_interpret, variant=stem)
         b = rgb.shape[0]
         dummy = jnp.zeros((b, 2, 2, 3), jnp.float32)
         out = model.apply(variables, dummy, dummy, train=False,

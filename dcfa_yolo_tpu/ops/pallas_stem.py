@@ -106,6 +106,118 @@ def _deinterleave_even(x2d: jnp.ndarray, w: int) -> jnp.ndarray:
     return jnp.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
 
 
+def col_parity_block(w: int) -> int:
+    """Lane-aligned width of one column-parity block of the deinterleaved
+    canvas (v3 contract): W/2+1 parity columns rounded up to a 128 multiple.
+    For W=640 this is 384, so the (B,3,H+2,768) deinterleaved canvas costs the
+    same VMEM as the plain (B,3,H+2,642) one (642 also pads to 768 lanes)."""
+    return ((w // 2 + 1) + 127) // 128 * 128
+
+
+def fold_stem_params_d(kernel_hwio: jnp.ndarray, gamma: jnp.ndarray,
+                       beta: jnp.ndarray, mean: jnp.ndarray, var: jnp.ndarray,
+                       eps: float = 1e-5, input_scale: float = 1.0 / 255.0):
+    """v3 (gather-free) packing: the two row-parity matrices fused along M.
+
+    Returns (wd3, bias3): wd3 (3, 96, 256) bf16 with wd3[dx][:, 0:128] the
+    even-conv-row weights and [:, 128:256] the odd-row weights (same k/m
+    conventions as `fold_stem_params`); bias3 (256, 1) f32."""
+    wd, bias = fold_stem_params(kernel_hwio, gamma, beta, mean, var,
+                                eps=eps, input_scale=input_scale)
+    wd3 = jnp.concatenate([wd[0], wd[1]], axis=-1)        # (3, 96, 256)
+    return wd3, jnp.tile(bias, (2, 1))
+
+
+def _stem_kernel_d(x_ref, wd_ref, b_ref, out_ref, p_ref):
+    """v3: zero lane-gathers.  The input canvas arrives column-deinterleaved
+    ([even-parity block | odd-parity block], see `col_parity_block` /
+    `ops.resize.letterbox_batch_cf(deinterleave_cols=True)`), so the three dx
+    GEMM operands are aligned block concats / single-lane shifts, the column
+    split after the vertical max is two aligned halves, and the horizontal
+    pool is one single-lane shift — the ops Mosaic executes natively.  v2's
+    per-vreg `tpu.dynamic_gather` deinterleave (200 gathers per 640² image)
+    disappears; executed MXU FLOPs are identical (3 dots of (96,256)x(96,W)
+    per 16-row group vs v2's 6 of (96,128)x(96,W))."""
+    blk = x_ref.shape[3] // 2                     # col_parity_block(W)
+    hw = out_ref.shape[3]                         # W/2 pooled columns
+    h = x_ref.shape[2] - 2
+    bias = b_ref[:, :]                            # (256, 1) f32
+
+    p_ref[:, :] = jnp.zeros_like(p_ref)
+
+    def group(g, carry):
+        for ci in range(3):
+            p_ref[pl.ds(ci * 32, 18), :] = x_ref[0, ci, pl.ds(16 * g, 18), :]
+        p = p_ref[:, :]                           # (96, 2*blk) bf16
+        pe0 = jax.lax.slice_in_dim(p, 0, hw, axis=1)          # canvas 2j
+        pe1 = jax.lax.slice_in_dim(p, 1, hw + 1, axis=1)      # canvas 2j+2
+        po0 = jax.lax.slice_in_dim(p, blk, blk + hw, axis=1)  # canvas 2j+1
+        po1 = jax.lax.slice_in_dim(p, blk + 1, blk + hw + 1, axis=1)
+        # dx operands: [even-conv-col sample | odd-conv-col sample], N = W
+        a0 = jnp.concatenate([pe0, po0], axis=1)
+        a1 = jnp.concatenate([po0, pe1], axis=1)
+        a2 = jnp.concatenate([pe1, po1], axis=1)
+        o = bias
+        for dx, a in enumerate((a0, a1, a2)):
+            o = o + jax.lax.dot_general(
+                wd_ref[dx], a, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)           # (256, W)
+        # round to bf16 BEFORE the max tree: round-to-nearest is monotone, so
+        # round(max(S)) == max(round(S)) and the result is bit-identical to
+        # maxing in f32 and rounding last (the output is bf16 either way) —
+        # but every max/concat below moves half the vregs
+        o_e = jax.lax.slice_in_dim(o, 0, 128, axis=0).astype(jnp.bfloat16)
+        o_o = jax.lax.slice_in_dim(o, 128, 256, axis=0).astype(jnp.bfloat16)
+        # vertical max (both column parities at once), as in v2
+        odd_tm1 = jnp.concatenate(
+            [carry, jax.lax.slice_in_dim(o_o, 0, 112, axis=0)], axis=0)
+        v = jnp.maximum(jnp.maximum(odd_tm1, o_e), o_o)       # (128, W)
+        v_ec = jax.lax.slice_in_dim(v, 0, hw, axis=1)
+        v_oc = jax.lax.slice_in_dim(v, hw, 2 * hw, axis=1)
+        # pooled col n = max(conv cols 2n-1, 2n, 2n+1) = max(voc[n-1], vec[n],
+        # voc[n]); n=0's col -1 is pool pad → 0, absorbed by the ReLU clamp
+        zcol = jnp.zeros((128, 1), jnp.bfloat16)
+        voc_m1 = jnp.concatenate(
+            [zcol, jax.lax.slice_in_dim(v_oc, 0, hw - 1, axis=1)], axis=1)
+        hmax = jnp.maximum(jnp.maximum(voc_m1, v_ec), v_oc)   # (128, W/2)
+        out_ref[0, pl.ds(8 * g, 8), :, :] = (
+            jnp.maximum(hmax, jnp.bfloat16(0.0)).astype(out_ref.dtype)
+            .reshape(8, 16, hw))
+        return jax.lax.slice_in_dim(o_o, 112, 128, axis=0)
+
+    carry0 = jnp.zeros((16, 2 * hw), jnp.bfloat16)
+    jax.lax.fori_loop(0, h // 16, group, carry0)
+
+
+def _stem_call_d(w: int, x_cfd: jnp.ndarray, wd3: jnp.ndarray,
+                 bias3: jnp.ndarray, interpret: bool) -> jnp.ndarray:
+    """Per-shard pallas_call for the v3 kernel: deinterleaved-canvas input
+    (B, 3, H+2, 2*col_parity_block(w)) → (B, H/2, 16, w/2).  `w` is explicit
+    because one block width serves several pooled widths."""
+    b, c, h2, w2d = x_cfd.shape
+    h = h2 - 2
+    out = pl.pallas_call(
+        _stem_kernel_d,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, 3, h2, w2d), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, 96, 256), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((256, 1), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, h // 2, 16, w // 2),
+                               lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, h // 2, 16, w // 2), jnp.bfloat16),
+        scratch_shapes=[pltpu.VMEM((96, w2d), jnp.bfloat16)],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=48 * 1024 * 1024),
+        interpret=interpret,
+    )(x_cfd.astype(jnp.bfloat16), wd3, bias3)
+    return out
+
+
 def _stem_kernel(x_ref, wd_ref, b_ref, out_ref, p_ref):
     w2 = x_ref.shape[3]
     w = w2 - 2
@@ -182,7 +294,7 @@ def _stem_call(x_cf: jnp.ndarray, wd: jnp.ndarray, bias: jnp.ndarray,
 
 
 @functools.lru_cache(maxsize=None)
-def _partitionable_stem(interpret: bool):
+def _partitionable_stem(interpret: bool, variant: str = "v2", w: int = 0):
     """Mosaic custom-calls cannot be auto-partitioned by GSPMD/Shardy; the
     stem is trivially batch-parallel (grid=(B,)), so declare batch dim 0 of
     the image passthrough and everything else (weights, bias) replicated —
@@ -190,7 +302,15 @@ def _partitionable_stem(interpret: bool):
     from jax.experimental.custom_partitioning import custom_partitioning
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    impl = functools.partial(_stem_call, interpret=interpret)
+    if variant == "v2":
+        impl = functools.partial(_stem_call, interpret=interpret)
+        wd_rule = "p q k m"
+        # Shardy requires need_replication factors in rule-introduction order
+        repl = ("c", "h", "w", "p", "q", "k", "m", "u", "e", "s", "g")
+    else:
+        impl = functools.partial(_stem_call_d, w, interpret=interpret)
+        wd_rule = "q k m"
+        repl = ("c", "h", "w", "q", "k", "m", "u", "e", "s", "g")
     fn = custom_partitioning(lambda x, w, b: impl(x, w, b))
 
     def _bshard(sharding, shape):
@@ -217,9 +337,8 @@ def _partitionable_stem(interpret: bool):
         partition=partition,
         # Shardy path: only the image batch dim is elementwise; every other
         # dim (image planes, GEMM weights, bias) must stay whole per shard
-        sharding_rule="b c h w, p q k m, m u -> b e s g",
-        need_replication_factors=("c", "h", "w", "p", "q", "k", "m", "u",
-                                  "e", "s", "g"),
+        sharding_rule=f"b c h w, {wd_rule}, m u -> b e s g",
+        need_replication_factors=repl,
     )
     return fn
 
@@ -244,3 +363,25 @@ def pallas_stem(x_cf: jnp.ndarray, wd: jnp.ndarray, bias: jnp.ndarray,
     # helper) cannot provide — and with one device there is nothing to
     # partition
     return _stem_call(x_cf.astype(jnp.bfloat16), wd, bias, interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("w", "interpret"))
+def pallas_stem_d(x_cfd: jnp.ndarray, wd3: jnp.ndarray, bias3: jnp.ndarray,
+                  w: int, interpret: bool = False) -> jnp.ndarray:
+    """v3 fused stem (gather-free; see `_stem_kernel_d`).  x_cfd
+    (B, 3, H+2, 2*col_parity_block(w)) bf16: the COLUMN-DEINTERLEAVED
+    zero-bordered canvas ([canvas cols 0,2,..,w | zeros | cols 1,3,..,w+1 |
+    zeros], `ops.resize.letterbox_batch_cf(deinterleave_cols=True)` emits it
+    at zero cost by permuting the horizontal resize matrix's rows); wd3/bias3
+    from `fold_stem_params_d`.  Returns (B, H/2, 16, w/2) bf16 — bit-identical
+    to `pallas_stem` (tests/test_pallas_stem.py pins it)."""
+    b, c, h2, w2d = x_cfd.shape
+    h = h2 - 2
+    if c != 3 or h % 16 or w % 2 or w2d != 2 * col_parity_block(w):
+        raise ValueError(
+            f"pallas_stem_d needs (B,3,H+2,2*col_parity_block(w)) with "
+            f"H%16==0, w even; got {x_cfd.shape} for w={w}")
+    if len(jax.devices()) > 1:
+        return _partitionable_stem(interpret, "v3", w)(
+            x_cfd.astype(jnp.bfloat16), wd3, bias3)
+    return _stem_call_d(w, x_cfd.astype(jnp.bfloat16), wd3, bias3, interpret)

@@ -11,13 +11,14 @@ gradient to the FIRST (row-major window order) position that equals the max —
 exactly XLA's select-and-scatter tie rule, so the swap is bit-identical
 (tests/test_pool_grad.py pins it, including all-tie post-ReLU-style inputs).
 
-Default is still the select-and-scatter form (DCFA_POOL_GRAD=sas): deviceless
-v5e attribution (tools/train_traffic_aot.py) shows the compare-route form
-*adds* ~26 GB of attributed traffic per b16 640^2 step (the 9x pad+add
-accumulation at input resolution), trading bytes for kernel parallelism —
-whether that wins depends on how slow the serial SAS kernel is on the real
-chip.  Flip the default once tools/pool_grad_ab.py measures a win on-chip.
-Set DCFA_POOL_GRAD=manual to opt in.
+Default is the select-and-scatter form (DCFA_POOL_GRAD=sas), now SETTLED by
+on-chip measurement (round 4, tools/pool_grad_ab.py, b16 640², v5e): the
+compare-route form is **6.4x SLOWER end-to-end** (613.9 vs 95.9 ms/step) —
+deviceless attribution had already shown it adds ~26 GB/step of traffic (the
+9x pad+add accumulation at input resolution), and the real chip prices those
+bytes at full roofline while the "slow serial" SAS kernel turns out cheap.
+DCFA_POOL_GRAD=manual stays available only as a semantics cross-check for
+tests/test_pool_grad.py.  Do not re-flip without new evidence.
 """
 
 from __future__ import annotations

@@ -150,17 +150,51 @@ def _letterbox_matrices(ih: int, iw: int, nh: int, nw: int, th: int, tw: int,
     return ah, aw, g
 
 
+def _col_parity_permute(tw: int) -> "np.ndarray":
+    """Map deinterleaved-canvas column j → plain bordered-canvas column, or
+    -1 for the zero pad lanes.  Layout (ops/pallas_stem.py v3 contract):
+    [canvas cols 0,2,..,tw | zeros to blk | cols 1,3,..,tw+1 | zeros], with
+    blk = col_parity_block(tw)."""
+    from dcfa_yolo_tpu.ops.pallas_stem import col_parity_block
+
+    blk = col_parity_block(tw)
+    idx = np.full(2 * blk, -1, np.int64)
+    half = tw // 2 + 1
+    idx[:half] = np.arange(half) * 2
+    idx[blk:blk + half] = np.arange(half) * 2 + 1
+    return idx
+
+
+def deinterleave_cols_cf(x_cf: jnp.ndarray) -> jnp.ndarray:
+    """Column-deinterleave a plain bordered canvas (B, 3, H+2, W+2) into the
+    v3 stem contract (B, 3, H+2, 2*col_parity_block(W)) — one XLA gather at
+    full resolution.  The letterbox path gets this for free by permuting the
+    resize matrix instead (`letterbox_batch_cf(deinterleave_cols=True)`);
+    this helper serves the no-resample / plain-resize paths."""
+    tw = x_cf.shape[3] - 2
+    idx = _col_parity_permute(tw)
+    taken = jnp.take(x_cf, jnp.asarray(np.maximum(idx, 0)), axis=3)
+    mask = jnp.asarray(idx >= 0, x_cf.dtype)
+    return taken * mask
+
+
 def letterbox_batch_cf(
     images: jnp.ndarray,
     target_hw: Tuple[int, int],
     pad_value: float = 128.0,
     pil_parity: bool = True,
+    deinterleave_cols: bool = False,
 ) -> jnp.ndarray:
     """Letterbox like `letterbox_batch`, but emit a channels-first, 1-px
     ZERO-bordered (B, 3, H+2, W+2) tensor — the input contract of the fused
     Pallas stem (`ops/pallas_stem.py`).  The channel transpose rides on the
     vertical-resize einsum's output ordering and the extra border on the pad
     op that exists anyway, so this costs nothing over the NHWC letterbox.
+
+    With `deinterleave_cols=True`, emit the v3 stem's column-deinterleaved
+    layout (B, 3, H+2, 2*col_parity_block(W)) instead: the permutation is a
+    row reorder of the horizontal resize matrix (and of the gray-fill
+    constant), so it also costs nothing over the plain canvas.
 
     Same sampling math as `letterbox_batch` (PIL BICUBIC parity incl. the
     uint8 round between passes, `utils/utils.py:24-37`)."""
@@ -177,13 +211,22 @@ def letterbox_batch_cf(
             ((0, 0), (0, 0), (pad_top, th - nh - pad_top),
              (pad_left, tw - nw - pad_left)),
             constant_values=pad_value)
-        return jnp.pad(x_cf, ((0, 0), (0, 0), (1, 1), (1, 1)))
+        x_cf = jnp.pad(x_cf, ((0, 0), (0, 0), (1, 1), (1, 1)))
+        return deinterleave_cols_cf(x_cf) if deinterleave_cols else x_cf
     # Canvas + zero-border pads folded into the resize matrices (see
     # letterbox_batch): the vertical dot writes the bordered (th+2, tw+2)
     # canvas directly in channels-first order; gray fill is a fused constant
     # add (0 on the image region and the border ring).
     ah, aw, g = _letterbox_matrices(ih, iw, nh, nw, th, tw, pad_value,
                                     pil_parity, border=1)
+    if deinterleave_cols:
+        idx = _col_parity_permute(tw)
+        aw_d = np.zeros((len(idx), iw), np.float32)
+        g_d = np.zeros((g.shape[0], len(idx)), np.float32)
+        live = idx >= 0
+        aw_d[live] = aw[idx[live]]
+        g_d[:, live] = g[:, idx[live]]
+        aw, g = aw_d, g_d
     aw = jnp.asarray(aw, dtype=x.dtype)
     ah = jnp.asarray(ah, dtype=x.dtype)
     x = jnp.einsum("qw,bhwc->bhqc", aw, x)

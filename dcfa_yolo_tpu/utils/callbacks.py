@@ -108,7 +108,7 @@ class EvalCallback:
                 f.write("0\n")
 
     def on_epoch_end(self, epoch: int, variables) -> Optional[float]:
-        if epoch % self.period != 0 or not self.eval_flag:
+        if self.period <= 0 or not self.eval_flag or epoch % self.period != 0:
             return None
         from PIL import Image
 

@@ -35,14 +35,14 @@ def parse_args():
                    choices=["float32", "bfloat16"])
     p.add_argument("--deploy", action="store_true",
                    help="use the re-parameterized (fused RepGhost) graph")
-    p.add_argument("--nms-backend", default="auto", choices=["auto", "xla", "pallas"],
+    p.add_argument("--nms-backend", default="auto", choices=["auto", "xla", "pallas", "pallas_d"],
                    help="greedy-suppression backend: XLA fori-loop or the "
                         "Pallas TPU kernel (identical outputs, verified "
                         "on-chip)")
     p.add_argument("--batch-size", type=int, default=1,
                    help="dir_predict: device batch size (1 = per-image; >1 "
                         "batches same-sized pairs through the fused pipeline)")
-    p.add_argument("--stem-backend", default="auto", choices=["auto", "xla", "pallas"],
+    p.add_argument("--stem-backend", default="auto", choices=["auto", "xla", "pallas", "pallas_d"],
                    help="backbone-stem backend: XLA conv+maxpool or the fused "
                         "Pallas VMEM kernel (ops/pallas_stem.py; bf16 only)")
     p.add_argument("--fold-shuffle", action="store_true",

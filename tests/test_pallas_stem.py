@@ -14,8 +14,11 @@ import pytest
 import jax
 import jax.numpy as jnp
 
-from dcfa_yolo_tpu.ops.pallas_stem import fold_stem_params, pallas_stem
-from dcfa_yolo_tpu.ops.resize import letterbox_batch, letterbox_batch_cf
+from dcfa_yolo_tpu.ops.pallas_stem import (col_parity_block, fold_stem_params,
+                                           fold_stem_params_d, pallas_stem,
+                                           pallas_stem_d)
+from dcfa_yolo_tpu.ops.resize import (deinterleave_cols_cf, letterbox_batch,
+                                      letterbox_batch_cf)
 
 
 def _xla_stem_f32(img, k, gamma, beta, mean, var, eps=1e-5):
@@ -91,6 +94,43 @@ def test_letterbox_batch_cf_matches_nhwc():
     assert border == 0.0
 
 
+@pytest.mark.parametrize("shape", [(2, 32, 48), (1, 64, 130), (1, 16, 640)])
+def test_pallas_stem_v3_bit_identical_to_v2(shape):
+    """The gather-free v3 kernel (deinterleaved-canvas input) must be
+    BIT-identical to v2: same per-element f32 accumulation order, same max
+    tree, same final relu→bf16 rounding."""
+    B, H, W = shape
+    rng = np.random.default_rng(7)
+    img = jnp.asarray(rng.integers(0, 256, (B, H, W, 3)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((3, 3, 3, 16)) * 0.3, jnp.float32)
+    gamma = jnp.asarray(rng.standard_normal(16) * 0.2 + 1.0, jnp.float32)
+    beta = jnp.asarray(rng.standard_normal(16) * 0.2, jnp.float32)
+    mean = jnp.asarray(rng.standard_normal(16) * 0.1, jnp.float32)
+    var = jnp.asarray(rng.random(16) + 0.5, jnp.float32)
+
+    x_cf = jnp.pad(jnp.transpose(img, (0, 3, 1, 2)),
+                   ((0, 0), (0, 0), (1, 1), (1, 1)))
+    o2 = pallas_stem(x_cf, *fold_stem_params(k, gamma, beta, mean, var),
+                     interpret=True)
+    x_cfd = deinterleave_cols_cf(x_cf)
+    assert x_cfd.shape == (B, 3, H + 2, 2 * col_parity_block(W))
+    o3 = pallas_stem_d(x_cfd, *fold_stem_params_d(k, gamma, beta, mean, var),
+                       w=W, interpret=True)
+    np.testing.assert_array_equal(np.asarray(o2), np.asarray(o3))
+
+
+def test_letterbox_batch_cf_deinterleave_matches_gather():
+    """The matrix-folded column permutation must equal permuting the plain
+    canvas (both the resample path and the no-resample path)."""
+    rng = np.random.default_rng(8)
+    for in_hw in ((48, 72), (64, 64)):  # resample / same-size paths
+        img = jnp.asarray(rng.integers(0, 256, (2, *in_hw, 3)), jnp.float32)
+        plain = letterbox_batch_cf(img, (64, 64))
+        deint = letterbox_batch_cf(img, (64, 64), deinterleave_cols=True)
+        np.testing.assert_array_equal(np.asarray(deinterleave_cols_cf(plain)),
+                                      np.asarray(deint))
+
+
 def test_detect_batch_pallas_stem_matches_xla_stem():
     """Full serving pipeline: stem_backend='pallas' (interpret on CPU) must
     reproduce the XLA-stem pipeline's detections at bf16 tolerance."""
@@ -111,14 +151,15 @@ def test_detect_batch_pallas_stem_matches_xla_stem():
 
     r_xla = jax.jit(lambda r, n, h: detect_batch(
         model, variables, r, n, h, stem_backend="xla", **kw))(rgb, nir, hw)
-    r_pal = jax.jit(lambda r, n, h: detect_batch(
-        model, variables, r, n, h, stem_backend="pallas", **kw))(rgb, nir, hw)
+    for backend in ("pallas", "pallas_d"):
+        r_pal = jax.jit(lambda r, n, h: detect_batch(
+            model, variables, r, n, h, stem_backend=backend, **kw))(rgb, nir, hw)
 
-    np.testing.assert_array_equal(np.asarray(r_xla.classes),
-                                  np.asarray(r_pal.classes))
-    np.testing.assert_array_equal(np.asarray(r_xla.valid),
-                                  np.asarray(r_pal.valid))
-    np.testing.assert_allclose(np.asarray(r_xla.boxes),
-                               np.asarray(r_pal.boxes), atol=0.01)
-    np.testing.assert_allclose(np.asarray(r_xla.scores),
-                               np.asarray(r_pal.scores), atol=0.005)
+        np.testing.assert_array_equal(np.asarray(r_xla.classes),
+                                      np.asarray(r_pal.classes))
+        np.testing.assert_array_equal(np.asarray(r_xla.valid),
+                                      np.asarray(r_pal.valid))
+        np.testing.assert_allclose(np.asarray(r_xla.boxes),
+                                   np.asarray(r_pal.boxes), atol=0.01)
+        np.testing.assert_allclose(np.asarray(r_xla.scores),
+                                   np.asarray(r_pal.scores), atol=0.005)

@@ -3,10 +3,13 @@ select-and-scatter (ops/pool.py module docstring).
 
 The train HLO at b16 640^2 contains 8 select-and-scatter ops — two at the
 full-res stem output (16,640,640,16) and six tiny SPPF ones — all replaced by
-dense fusible compares under DCFA_POOL_GRAD=manual (the default).  This times
-the FULL fused train step both ways in one process (each Trainer builds a
-fresh jitted step, and ops/pool.py reads the env at trace time, so the two
-instances compile different programs).
+dense fusible compares under DCFA_POOL_GRAD=manual (opt-in; 'sas' is the
+default).  This times the FULL fused train step both ways in one process
+(each Trainer builds a fresh jitted step, and ops/pool.py reads the env at
+trace time, so the two instances compile different programs).
+
+VERDICT (round 4, on-chip v5e): manual = 613.9 ms/step vs sas 95.9 — 6.4x
+slower; 'sas' stays the default permanently (ops/pool.py docstring).
 
 Run in background: python tools/pool_grad_ab.py > /tmp/pool_grad_ab.log 2>&1
 """

@@ -89,7 +89,7 @@ def main():
                          ("pair", True, True)) if m[0] in configs]
     print(f"device: {jax.devices()[0].device_kind}", flush=True)
     for batch in batches:
-        for stem in ("xla", "pallas"):
+        for stem in os.environ.get("AB_STEMS", "xla,pallas").split(","):
             for name, fold, pair in modes:
                 dt = time_config(batch, stem, fold, iters, pair=pair)
                 print(f"b{batch:<4d} stem={stem:6s} {name:5s}: "

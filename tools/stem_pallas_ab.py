@@ -87,6 +87,21 @@ def main():
                        ((0, 0), (0, 0), (1, 1), (1, 1))).astype(jnp.bfloat16)
     t_pal = timeit_chained(
         lambda x: pallas_stem(x, wd, bias).astype(jnp.float32), xcf_full)
+    # v3: gather-free kernel on the column-deinterleaved canvas (the product
+    # letterbox emits that layout for free; here a one-time device gather)
+    from dcfa_yolo_tpu.ops.pallas_stem import fold_stem_params_d, pallas_stem_d
+    from dcfa_yolo_tpu.ops.resize import deinterleave_cols_cf
+
+    wd3, bias3 = fold_stem_params_d(k, g, be, mu, var)
+    xcfd_full = jax.jit(deinterleave_cols_cf)(xcf_full)
+    o2 = pallas_stem(xcf_full[:2], wd, bias)
+    o3 = pallas_stem_d(xcfd_full[:2], wd3, bias3, w=W)
+    same = bool(jnp.array_equal(o2, o3))
+    t_pal3 = timeit_chained(
+        lambda x: pallas_stem_d(x, wd3, bias3, w=W).astype(jnp.float32),
+        xcfd_full)
+    print(f"v3 (gather-free) stem: {t_pal3*1e3:.2f} ms   "
+          f"bit-identical to v2 on-chip: {same}", flush=True)
     # end-to-end equivalent: include the NHWC raw → CF-bordered arrangement
     def pal_e2e(x):
         xc = jnp.pad(jnp.transpose(x, (0, 3, 1, 2)),
