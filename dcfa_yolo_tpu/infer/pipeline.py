@@ -44,16 +44,14 @@ def _stem_backend_resolve(stem_backend: str, cfg: ModelConfig,
                 f"input_shape={cfg.input_shape}")
         return stem_backend
     assert stem_backend == "auto", stem_backend
-    # 'auto', measured on the v5e (tools/serve_ab_matrix.py, 640², fold):
-    # the Pallas stem wins BIG at small batch — b1 latency 4.14 → 2.21 ms
-    # (the full-res XLA stem kernels are per-launch-latency-bound at b1) —
-    # and v2 loses ~2% at b128 (0.439 vs 0.430 ms/pair: its per-vreg gather
-    # deinterleave eats the byte win; the gather-free v3 is being timed).
-    # Until the b8-b32 crossover run lands, the threshold is conservative:
-    # batch ≤ 8 → kernel stem.  bench.py's stem autotune re-decides
-    # empirically per chip either way.
-    if jax.default_backend() == "tpu" and eligible and 0 < batch <= 8:
-        return "pallas"
+    # 'auto', measured on the v5e (tools/serve_ab_matrix.py, 640² fold, round
+    # 4): the gather-free v3 kernel wins at EVERY batch — ms/pair v3 vs XLA:
+    # b1 2.244/4.205 (1.87x), b8 0.823/1.851 (2.25x), b32 0.642/0.968
+    # (1.51x), b128 0.419/0.427 — the XLA stem's full-res kernels are
+    # launch-latency-bound at small batch and HBM-bound at large.  bench.py's
+    # stem autotune re-decides empirically per chip either way.
+    if jax.default_backend() == "tpu" and eligible:
+        return "pallas_d"
     return "xla"
 
 
