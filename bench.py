@@ -184,6 +184,26 @@ def main() -> None:
             f"GB/s vs {peak_bw/1e9:.0f} GB/s peak) — timing artifact, "
             f"refusing to report")
 
+    # batch-1 latency under the same fused pipeline — the reference's own FPS
+    # protocol operating point (yolo_mul.py:132-166 is batch 1).  Guarded so
+    # a failure cannot kill the headline number.  BENCH_B1=0 skips.
+    b1_ms = None
+    if os.environ.get("BENCH_B1", "1") == "1" and batch != 1:
+        try:
+            rgb1, nir1 = rgb[:1], nir[:1]
+            hw1 = image_hw[:1]
+
+            def fn1(r, n):
+                return detect_batch(model, variables, r, n, hw1,
+                                    conf_thres=0.5, iou_thres=0.3,
+                                    letterbox=True, max_det=300,
+                                    pre_nms_topk=512, nms_backend=nms_backend,
+                                    stem_backend="auto")
+
+            b1_ms = round(timeit_chained(fn1, (rgb1, nir1), iters=30) * 1e3, 3)
+        except Exception:
+            b1_ms = None
+
     print(json.dumps({
         "metric": "pairs_per_sec_per_chip_640_batch_inference",
         "value": round(pairs_per_sec, 2),
@@ -200,6 +220,7 @@ def main() -> None:
         "hbm_util": round(hbm_util, 3),
         "stem_backend": stem_backend,
         "stem_autotune": autotune_note,
+        "b1_ms_pair": b1_ms,
         "timing": "chained-dependency (see utils/profiling.timeit_chained)",
     }))
 

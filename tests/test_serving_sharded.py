@@ -72,13 +72,15 @@ def test_sharded_serving_matches_single_device(setup):
                                        err_msg=name)
 
 
-@pytest.mark.parametrize("fold", [False, True], ids=["nofold", "fold"])
-def test_sharded_serving_pallas_backends(setup, fold):
+@pytest.mark.parametrize("fold,stem", [(False, "pallas"), (True, "pallas"),
+                                       (True, "pallas_d")],
+                         ids=["nofold", "fold", "fold-v3"])
+def test_sharded_serving_pallas_backends(setup, fold, stem):
     """Mosaic custom-calls cannot be auto-partitioned; the custom_partitioning
     wrappers (ops/pallas_nms.py, ops/pallas_stem.py) declare the kernels
     batch-parallel.  A batch-sharded pipeline with BOTH Pallas backends forced
-    (and, parametrized, channel-shuffle folding on top) must run and match
-    the single-device result."""
+    (and, parametrized, channel-shuffle folding and the v3 stem on top) must
+    run and match the single-device result."""
     cfg = ModelConfig(num_classes=2, phi="n", input_shape=(64, 64),
                       compute_dtype="bfloat16")
     model, variables = init_model(cfg, jax.random.PRNGKey(0))
@@ -97,7 +99,7 @@ def test_sharded_serving_pallas_backends(setup, fold):
         return detect_batch(model, variables, r, n, h, conf_thres=0.3,
                             iou_thres=0.5, letterbox=True, max_det=20,
                             pre_nms_topk=64, nms_backend="pallas",
-                            stem_backend="pallas")
+                            stem_backend=stem)
 
     single = jax.jit(fn)(rgb, nir, hw)
     mesh = make_mesh(8)
