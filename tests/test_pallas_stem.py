@@ -163,3 +163,34 @@ def test_detect_batch_pallas_stem_matches_xla_stem():
                                    np.asarray(r_pal.boxes), atol=0.01)
         np.testing.assert_allclose(np.asarray(r_xla.scores),
                                    np.asarray(r_pal.scores), atol=0.005)
+
+
+def test_stem_backend_auto_resolution(monkeypatch):
+    """Pin the 'auto' policy (infer/pipeline._stem_backend_resolve): the v3
+    kernel wherever eligible on TPU (on-chip crossover, ROUND4.md), XLA
+    elsewhere; explicit Pallas requests on ineligible configs fail loud."""
+    from dcfa_yolo_tpu.config import ModelConfig
+    from dcfa_yolo_tpu.infer import pipeline
+
+    ok = ModelConfig(num_classes=1, phi="n", input_shape=(640, 640),
+                     compute_dtype="bfloat16")
+    assert pipeline._stem_backend_resolve("xla", ok) == "xla"
+    assert pipeline._stem_backend_resolve("pallas", ok) == "pallas"
+    assert pipeline._stem_backend_resolve("pallas_d", ok) == "pallas_d"
+
+    # auto on the CPU test backend -> xla
+    assert pipeline._stem_backend_resolve("auto", ok, batch=1) == "xla"
+    # auto on TPU -> the v3 kernel at every batch (no threshold)
+    monkeypatch.setattr(pipeline.jax, "default_backend", lambda: "tpu")
+    for b in (1, 8, 32, 128):
+        assert pipeline._stem_backend_resolve("auto", ok, batch=b) == "pallas_d"
+
+    # ineligible configs: auto falls back to xla, explicit raises
+    for bad in (ModelConfig(num_classes=1, phi="s", input_shape=(640, 640),
+                            compute_dtype="bfloat16"),
+                ModelConfig(num_classes=1, phi="n", input_shape=(640, 640)),
+                ModelConfig(num_classes=1, phi="n", input_shape=(648, 640),
+                            compute_dtype="bfloat16")):
+        assert pipeline._stem_backend_resolve("auto", bad, batch=128) == "xla"
+        with pytest.raises(ValueError):
+            pipeline._stem_backend_resolve("pallas_d", bad)
