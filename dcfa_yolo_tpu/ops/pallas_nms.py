@@ -24,8 +24,28 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _nms_kernel(x1_ref, y1_ref, x2_ref, y2_ref, alive_ref, keep_ref, *,
+def _nms_kernel(n_ref, x1_ref, y1_ref, x2_ref, y2_ref, alive_ref,
+                x1s_ref, y1s_ref, x2s_ref, y2s_ref, keep_ref, alive_scr, *,
                 iou_thres: float):
+    """One program per image.  Three structural speedups over the naive
+    fixed-K loop, all bit-exact (the round-4 b128 serving profile measured the
+    fixed-K form at 11.1 ms/iter = 21% of the whole pipeline):
+
+    - **dynamic trip count** (`n_ref`, SMEM): candidates arrive score-sorted,
+      so every index past the last initially-alive one is a provable no-op
+      (alive can only be cleared, a dead candidate suppresses nothing and
+      records keep=0, which the init already wrote) — the loop runs
+      `last_alive+1 ≤ K` steps.  At serving confidences the alive prefix is
+      tens, not K=512.
+    - **SMEM scalar coordinates**: the candidate-i box is read as four scalar
+      loads from an SMEM copy of the planes instead of four one-hot
+      multiply-reduces over the VMEM vectors (a one-hot sum of v equals v[i]
+      exactly — every other term is +0.0).
+    - **suppressed-candidate skip**: `alive` lives in a VMEM scratch and the
+      whole IoU-row update is inside `pl.when(is_kept > 0)` — v1 computed the
+      row and multiplied by 0; typical NMS suppresses most of the prefix, so
+      most iterations reduce to one masked pick of alive[i].
+    """
     k = x1_ref.shape[-1]
     x1 = x1_ref[0, 0, :]
     y1 = y1_ref[0, 0, :]
@@ -34,28 +54,38 @@ def _nms_kernel(x1_ref, y1_ref, x2_ref, y2_ref, alive_ref, keep_ref, *,
     area = (x2 - x1) * (y2 - y1)
     col = jax.lax.broadcasted_iota(jnp.int32, (1, k), 1)[0]
 
-    def body(i, state):
-        alive, keep = state
-        # scalar extraction via masked reduction — Mosaic has no dynamic_slice
-        # on values, and a one-hot multiply-reduce is a single VPU pass
-        sel = (col == i).astype(jnp.float32)
-        pick = lambda v: jnp.sum(v * sel)
-        is_kept = pick(alive)
-        bx1, by1, bx2, by2, ba = pick(x1), pick(y1), pick(x2), pick(y2), pick(area)
-        iw = jnp.maximum(jnp.minimum(x2, bx2) - jnp.maximum(x1, bx1), 0.0)
-        ih = jnp.maximum(jnp.minimum(y2, by2) - jnp.maximum(y1, by1), 0.0)
-        inter = iw * ih
-        iou = inter / (area + ba - inter + 1e-7)
-        suppress = jnp.where(is_kept > 0.0,
-                             (iou > iou_thres).astype(jnp.float32), 0.0)
-        suppress = jnp.where(col == i, 0.0, suppress)
-        keep = jnp.where(col == i, is_kept, keep)
-        alive = alive * (1.0 - suppress)
-        return alive, keep
+    alive_scr[0, :] = alive_ref[0, 0, :]
 
-    alive0 = alive_ref[0, 0, :]
-    keep0 = jnp.zeros((k,), jnp.float32)
-    _, keep = jax.lax.fori_loop(0, k, body, (alive0, keep0))
+    def body(i, keep):
+        alive = alive_scr[0, :]
+        # alive[i] via one-hot multiply-reduce (alive is loop-mutated vector
+        # state — Mosaic has no dynamic scalar indexing on VMEM)
+        sel = (col == i).astype(jnp.float32)
+        is_kept = jnp.sum(alive * sel)
+        keep = jnp.where(col == i, is_kept, keep)
+
+        @pl.when(is_kept > 0.0)
+        def _():
+            bx1 = x1s_ref[0, 0, i]
+            by1 = y1s_ref[0, 0, i]
+            bx2 = x2s_ref[0, 0, i]
+            by2 = y2s_ref[0, 0, i]
+            ba = (bx2 - bx1) * (by2 - by1)
+            iw = jnp.maximum(jnp.minimum(x2, bx2) - jnp.maximum(x1, bx1), 0.0)
+            ih = jnp.maximum(jnp.minimum(y2, by2) - jnp.maximum(y1, by1), 0.0)
+            inter = iw * ih
+            iou = inter / (area + ba - inter + 1e-7)
+            suppress = (iou > iou_thres).astype(jnp.float32)
+            suppress = jnp.where(col == i, 0.0, suppress)
+            alive_scr[0, :] = alive * (1.0 - suppress)
+
+        return keep
+
+    # n is the full (B, 1) SMEM array (Mosaic requires SMEM blocks to tile by
+    # (8, 128) or equal the array dims — a (1, 1) per-program block is
+    # neither), indexed by this program's batch position
+    keep = jax.lax.fori_loop(0, n_ref[pl.program_id(0), 0], body,
+                             jnp.zeros((k,), jnp.float32))
     keep_ref[0, 0, :] = keep
 
 
@@ -64,14 +94,23 @@ def _suppress_planes(x1, y1, x2, y2, alive, *, iou_thres, interpret):
     b, _, k = x1.shape
     kernel = functools.partial(_nms_kernel, iou_thres=iou_thres)
     spec = pl.BlockSpec((1, 1, k), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    sspec = pl.BlockSpec((1, 1, k), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM)
+    nspec = pl.BlockSpec((b, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
+    # trip count: last initially-alive index + 1 (== the alive count for the
+    # score-sorted prefix masks the product path produces; the max form stays
+    # correct for arbitrary masks, e.g. hand-built test inputs)
+    iota = jax.lax.broadcasted_iota(jnp.int32, alive.shape, 2)
+    n = jnp.max(jnp.where(alive > 0.0, iota + 1, 0), axis=2)
     return pl.pallas_call(
         kernel,
         grid=(b,),
-        in_specs=[spec] * 5,
+        in_specs=[nspec] + [spec] * 5 + [sspec] * 4,
         out_specs=spec,
         out_shape=jax.ShapeDtypeStruct((b, 1, k), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((1, k), jnp.float32)],
         interpret=interpret,
-    )(x1, y1, x2, y2, alive)
+    )(n.astype(jnp.int32), x1, y1, x2, y2, alive, x1, y1, x2, y2)
 
 
 @functools.lru_cache(maxsize=None)
