@@ -136,7 +136,7 @@ def main() -> None:
         candidates = ["xla"]
         try:
             _stem_backend_resolve("pallas", cfg)
-            candidates += ["pallas", "pallas_d"]
+            candidates += ["pallas", "pallas_d", "pallas_e"]
         except ValueError:
             pass
         times = {}

@@ -35,7 +35,7 @@ def _stem_backend_resolve(stem_backend: str, cfg: ModelConfig,
                 and cfg.compute_dtype == "bfloat16"
                 and cfg.input_shape[0] % 16 == 0
                 and cfg.input_shape[1] % 2 == 0)
-    if stem_backend in ("pallas", "pallas_d"):
+    if stem_backend in ("pallas", "pallas_d", "pallas_e"):
         if not eligible:
             raise ValueError(
                 f"stem_backend='{stem_backend}' needs base_channels=16, bf16 "
@@ -68,11 +68,12 @@ def _pallas_stem_outs(variables, rgb, nir, in_hw, letterbox: bool,
     interpret=False explicitly or they silently lower the interpret-mode
     emulation instead of the Mosaic kernel (tools/serve_traffic_aot.py does)."""
     from dcfa_yolo_tpu.ops.pallas_stem import (
-        fold_stem_params, fold_stem_params_d, pallas_stem, pallas_stem_d)
+        fold_stem_params, fold_stem_params_d, fold_stem_params_e, pallas_stem,
+        pallas_stem_d, pallas_stem_e)
     from dcfa_yolo_tpu.ops.resize import (
         deinterleave_cols_cf, letterbox_batch_cf, resize_bicubic)
 
-    deint = variant == "pallas_d"
+    deint = variant in ("pallas_d", "pallas_e")
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
@@ -114,7 +115,11 @@ def _pallas_stem_outs(variables, rgb, nir, in_hw, letterbox: bool,
             if deint:
                 x_cf = deinterleave_cols_cf(x_cf)
         params = stem_params(None if paired else bk, mod)
-        if deint:
+        if variant == "pallas_e":
+            wd, bias = fold_stem_params_e(*params)
+            so = pallas_stem_e(x_cf.astype(jnp.bfloat16), wd, bias,
+                               w=in_hw[1], interpret=interpret)
+        elif deint:
             wd, bias = fold_stem_params_d(*params)
             so = pallas_stem_d(x_cf.astype(jnp.bfloat16), wd, bias,
                                w=in_hw[1], interpret=interpret)

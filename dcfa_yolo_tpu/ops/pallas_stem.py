@@ -128,6 +128,137 @@ def fold_stem_params_d(kernel_hwio: jnp.ndarray, gamma: jnp.ndarray,
     return wd3, jnp.tile(bias, (2, 1))
 
 
+def fold_stem_params_e(kernel_hwio: jnp.ndarray, gamma: jnp.ndarray,
+                       beta: jnp.ndarray, mean: jnp.ndarray, var: jnp.ndarray,
+                       eps: float = 1e-5, input_scale: float = 1.0 / 255.0):
+    """v4 (compact-K dual-parity) packing: ONE (216, 256) weight matrix.
+
+    Rows k = (dx*3 + ci)*24 + ry with ry = 2t + par + dy (rows 18..23 of each
+    24-row band stay zero — 24 keeps every band store 8-sublane-aligned);
+    columns m = par*128 + t*16 + co.  The same matrix serves BOTH column-parity
+    dots: the weight value for (dx, ci, ry, par, co) does not depend on which
+    canvas column parity the operand band holds — only the operand slice under
+    band dx differs (even cols: (pe0, po0, pe1); odd cols: (po0, pe1, po1))."""
+    wd, bias = fold_stem_params(kernel_hwio, gamma, beta, mean, var,
+                                eps=eps, input_scale=input_scale)
+    we = jnp.zeros((216, 256), jnp.bfloat16)
+    for dx in range(3):
+        for ci in range(3):
+            band = (dx * 3 + ci) * 24
+            src = wd[:, dx, ci * 32:ci * 32 + 18, :]      # (2, 18, 128)
+            we = we.at[band:band + 18, 0:128].set(src[0])
+            we = we.at[band:band + 18, 128:256].set(src[1])
+    return we, jnp.tile(bias, (2, 1))
+
+
+def _stem_kernel_e(x_ref, w_ref, b_ref, out_ref, p_ref):
+    """v4: same deinterleaved-canvas input as v3, 33% fewer MXU pass-cycles.
+
+    v3 issues 3 dots of (96,256)x(96,W) per 16-row group = 6 weight-tile
+    passes x N=W = 3840 column-stream cycles (the kernel is dot-bound:
+    tools/stem_split_probe.py).  v4 splits the conv by OUTPUT column parity:
+    each parity needs 3x3ci x 18ry = 162 distinct input rows (the three dx
+    taps land on parity slices pe0/po0/pe1 for even cols, po0/pe1/po1 for
+    odd), packed compactly as nine 24-aligned bands -> K=216 (2 K-tiles), and
+    the two parities' operands are OVERLAPPING row slices [0:216) / [72:288)
+    of one 12-band scratch.  2 dots x (2 K-tiles x 2 M-tiles) x N=W/2 = 2560
+    cycles.  The four parity slices are single-lane shifts of the two canvas
+    blocks, so stores stay aligned and gather-free like v3.
+
+    NOT bit-identical to v2/v3: fusing the three dx taps into one K=216
+    accumulation changes the f32 summation order (same class of deviation as
+    the XLA conv itself and fold_shuffle); pinned by tolerance + serving-level
+    detection-agreement tests."""
+    blk = x_ref.shape[3] // 2                     # col_parity_block(W)
+    hw = out_ref.shape[3]                         # W/2 pooled columns
+    h = x_ref.shape[2] - 2
+    bias = b_ref[:, :]                            # (256, 1) f32
+
+    p_ref[:, :] = jnp.zeros_like(p_ref)
+
+    def group(g, carry):
+        ce, co_ = carry
+        for ci in range(3):
+            rows = x_ref[0, ci, pl.ds(16 * g, 18), :]     # (18, 2*blk)
+            pe0 = jax.lax.slice_in_dim(rows, 0, blk, axis=1)
+            po0 = jax.lax.slice_in_dim(rows, blk, 2 * blk, axis=1)
+            # pe1/po1 = the parity blocks advanced one lane; pe1's last lane
+            # picks up po0[0] (junk) but only operand lanes < hw reach a dot
+            pe1 = jax.lax.slice_in_dim(rows, 1, blk + 1, axis=1)
+            po1 = jnp.concatenate(
+                [jax.lax.slice_in_dim(rows, blk + 1, 2 * blk, axis=1),
+                 jnp.zeros((18, 1), rows.dtype)], axis=1)
+            p_ref[pl.ds(ci * 24, 18), :] = pe0
+            p_ref[pl.ds(72 + ci * 24, 18), :] = po0
+            p_ref[pl.ds(144 + ci * 24, 18), :] = pe1
+            p_ref[pl.ds(216 + ci * 24, 18), :] = po1
+        p = p_ref[:, :]                           # (288, blk) bf16
+        a_e = jax.lax.slice(p, (0, 0), (216, hw))     # (pe0, po0, pe1) bands
+        a_o = jax.lax.slice(p, (72, 0), (288, hw))    # (po0, pe1, po1) bands
+        w = w_ref[:, :]
+        o_e = bias + jax.lax.dot_general(
+            w, a_e, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)       # (256, hw): even cols
+        o_o = bias + jax.lax.dot_general(
+            w, a_o, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)       # odd cols
+        # bf16 round before the max tree (monotone → exact), as in v3
+        e_ev = jax.lax.slice_in_dim(o_e, 0, 128, axis=0).astype(jnp.bfloat16)
+        e_od = jax.lax.slice_in_dim(o_e, 128, 256, axis=0).astype(jnp.bfloat16)
+        o_ev = jax.lax.slice_in_dim(o_o, 0, 128, axis=0).astype(jnp.bfloat16)
+        o_od = jax.lax.slice_in_dim(o_o, 128, 256, axis=0).astype(jnp.bfloat16)
+        # vertical max per column parity: pool row 8g+t = max(odd[t-1],
+        # even[t], odd[t]); odd[t-1] = aligned concat of carry + odd[0:112]
+        v_e = jnp.maximum(jnp.maximum(jnp.concatenate(
+            [ce, jax.lax.slice_in_dim(e_od, 0, 112, axis=0)], axis=0),
+            e_ev), e_od)                              # (128, hw) even cols
+        v_o = jnp.maximum(jnp.maximum(jnp.concatenate(
+            [co_, jax.lax.slice_in_dim(o_od, 0, 112, axis=0)], axis=0),
+            o_ev), o_od)                              # odd cols
+        zcol = jnp.zeros((128, 1), jnp.bfloat16)
+        voc_m1 = jnp.concatenate(
+            [zcol, jax.lax.slice_in_dim(v_o, 0, hw - 1, axis=1)], axis=1)
+        hmax = jnp.maximum(jnp.maximum(voc_m1, v_e), v_o)   # (128, hw)
+        out_ref[0, pl.ds(8 * g, 8), :, :] = (
+            jnp.maximum(hmax, jnp.bfloat16(0.0)).astype(out_ref.dtype)
+            .reshape(8, 16, hw))
+        return (jax.lax.slice_in_dim(e_od, 112, 128, axis=0),
+                jax.lax.slice_in_dim(o_od, 112, 128, axis=0))
+
+    carry0 = (jnp.zeros((16, hw), jnp.bfloat16),
+              jnp.zeros((16, hw), jnp.bfloat16))
+    jax.lax.fori_loop(0, h // 16, group, carry0)
+
+
+def _stem_call_e(w: int, x_cfd: jnp.ndarray, we: jnp.ndarray,
+                 bias3: jnp.ndarray, interpret: bool) -> jnp.ndarray:
+    """Per-shard pallas_call for the v4 kernel — same input/output contract as
+    `_stem_call_d` (deinterleaved canvas in, (B, H/2, 16, w/2) out)."""
+    b, c, h2, w2d = x_cfd.shape
+    h = h2 - 2
+    blk = w2d // 2
+    out = pl.pallas_call(
+        _stem_kernel_e,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, 3, h2, w2d), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((216, 256), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((256, 1), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, h // 2, 16, w // 2),
+                               lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, h // 2, 16, w // 2), jnp.bfloat16),
+        scratch_shapes=[pltpu.VMEM((288, blk), jnp.bfloat16)],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=48 * 1024 * 1024),
+        interpret=interpret,
+    )(x_cfd.astype(jnp.bfloat16), we, bias3)
+    return out
+
+
 def _stem_kernel_d(x_ref, wd_ref, b_ref, out_ref, p_ref):
     """v3: zero lane-gathers.  The input canvas arrives column-deinterleaved
     ([even-parity block | odd-parity block], see `col_parity_block` /
@@ -307,6 +438,10 @@ def _partitionable_stem(interpret: bool, variant: str = "v2", w: int = 0):
         wd_rule = "p q k m"
         # Shardy requires need_replication factors in rule-introduction order
         repl = ("c", "h", "w", "p", "q", "k", "m", "u", "e", "s", "g")
+    elif variant == "v4":
+        impl = functools.partial(_stem_call_e, w, interpret=interpret)
+        wd_rule = "k m"
+        repl = ("c", "h", "w", "k", "m", "u", "e", "s", "g")
     else:
         impl = functools.partial(_stem_call_d, w, interpret=interpret)
         wd_rule = "q k m"
@@ -385,3 +520,22 @@ def pallas_stem_d(x_cfd: jnp.ndarray, wd3: jnp.ndarray, bias3: jnp.ndarray,
         return _partitionable_stem(interpret, "v3", w)(
             x_cfd.astype(jnp.bfloat16), wd3, bias3)
     return _stem_call_d(w, x_cfd.astype(jnp.bfloat16), wd3, bias3, interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("w", "interpret"))
+def pallas_stem_e(x_cfd: jnp.ndarray, we: jnp.ndarray, bias3: jnp.ndarray,
+                  w: int, interpret: bool = False) -> jnp.ndarray:
+    """v4 fused stem (compact-K dual-parity dots; see `_stem_kernel_e`).
+    Same input contract as `pallas_stem_d` (column-deinterleaved canvas);
+    we/bias3 from `fold_stem_params_e`.  Agreement with v2/v3 is
+    tolerance-level, not bit-exact (K-fusion changes f32 summation order)."""
+    b, c, h2, w2d = x_cfd.shape
+    h = h2 - 2
+    if c != 3 or h % 16 or w % 2 or w2d != 2 * col_parity_block(w):
+        raise ValueError(
+            f"pallas_stem_e needs (B,3,H+2,2*col_parity_block(w)) with "
+            f"H%16==0, w even; got {x_cfd.shape} for w={w}")
+    if len(jax.devices()) > 1:
+        return _partitionable_stem(interpret, "v4", w)(
+            x_cfd.astype(jnp.bfloat16), we, bias3)
+    return _stem_call_e(w, x_cfd.astype(jnp.bfloat16), we, bias3, interpret)

@@ -33,7 +33,7 @@ def parse_args():
                    help="device batch for the prediction pass (>1 batches "
                         "same-sized pairs; identical txt outputs)")
     p.add_argument("--stem-backend", default="auto",
-                   choices=["auto", "xla", "pallas", "pallas_d"],
+                   choices=["auto", "xla", "pallas", "pallas_d", "pallas_e"],
                    help="backbone-stem backend (see ops/pallas_stem.py)")
     p.add_argument("--fold-shuffle", action="store_true",
                    help="serve with channel_shuffles folded into downstream "

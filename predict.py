@@ -42,7 +42,8 @@ def parse_args():
     p.add_argument("--batch-size", type=int, default=1,
                    help="dir_predict: device batch size (1 = per-image; >1 "
                         "batches same-sized pairs through the fused pipeline)")
-    p.add_argument("--stem-backend", default="auto", choices=["auto", "xla", "pallas", "pallas_d"],
+    p.add_argument("--stem-backend", default="auto",
+                   choices=["auto", "xla", "pallas", "pallas_d", "pallas_e"],
                    help="backbone-stem backend: XLA conv+maxpool or the fused "
                         "Pallas VMEM kernel (ops/pallas_stem.py; bf16 only)")
     p.add_argument("--fold-shuffle", action="store_true",

@@ -15,8 +15,9 @@ import jax
 import jax.numpy as jnp
 
 from dcfa_yolo_tpu.ops.pallas_stem import (col_parity_block, fold_stem_params,
-                                           fold_stem_params_d, pallas_stem,
-                                           pallas_stem_d)
+                                           fold_stem_params_d,
+                                           fold_stem_params_e, pallas_stem,
+                                           pallas_stem_d, pallas_stem_e)
 from dcfa_yolo_tpu.ops.resize import (deinterleave_cols_cf, letterbox_batch,
                                       letterbox_batch_cf)
 
@@ -119,6 +120,34 @@ def test_pallas_stem_v3_bit_identical_to_v2(shape):
     np.testing.assert_array_equal(np.asarray(o2), np.asarray(o3))
 
 
+@pytest.mark.parametrize("shape", [(2, 32, 48), (1, 64, 130), (1, 16, 640)])
+def test_pallas_stem_v4_matches_v3(shape):
+    """The compact-K dual-parity v4 kernel vs v3: fusing the three dx taps
+    into one K=216 accumulation changes the f32 summation order (documented
+    in `_stem_kernel_e`), so agreement is tolerance-level — but the products
+    are exact in f32 (bf16 inputs) and the sums are short (≤27 terms), so
+    almost every bf16 output still rounds identically."""
+    B, H, W = shape
+    rng = np.random.default_rng(11)
+    img = jnp.asarray(rng.integers(0, 256, (B, H, W, 3)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((3, 3, 3, 16)) * 0.3, jnp.float32)
+    gamma = jnp.asarray(rng.standard_normal(16) * 0.2 + 1.0, jnp.float32)
+    beta = jnp.asarray(rng.standard_normal(16) * 0.2, jnp.float32)
+    mean = jnp.asarray(rng.standard_normal(16) * 0.1, jnp.float32)
+    var = jnp.asarray(rng.random(16) + 0.5, jnp.float32)
+
+    x_cfd = deinterleave_cols_cf(jnp.pad(
+        jnp.transpose(img, (0, 3, 1, 2)), ((0, 0), (0, 0), (1, 1), (1, 1))))
+    o3 = pallas_stem_d(x_cfd, *fold_stem_params_d(k, gamma, beta, mean, var),
+                       w=W, interpret=True)
+    o4 = pallas_stem_e(x_cfd, *fold_stem_params_e(k, gamma, beta, mean, var),
+                       w=W, interpret=True)
+    a3 = np.asarray(o3, np.float32)
+    a4 = np.asarray(o4, np.float32)
+    np.testing.assert_allclose(a3, a4, atol=0.03, rtol=0.02)
+    assert (a3 == a4).mean() > 0.999
+
+
 def test_letterbox_batch_cf_deinterleave_matches_gather():
     """The matrix-folded column permutation must equal permuting the plain
     canvas (both the resample path and the no-resample path)."""
@@ -151,7 +180,7 @@ def test_detect_batch_pallas_stem_matches_xla_stem():
 
     r_xla = jax.jit(lambda r, n, h: detect_batch(
         model, variables, r, n, h, stem_backend="xla", **kw))(rgb, nir, hw)
-    for backend in ("pallas", "pallas_d"):
+    for backend in ("pallas", "pallas_d", "pallas_e"):
         r_pal = jax.jit(lambda r, n, h: detect_batch(
             model, variables, r, n, h, stem_backend=backend, **kw))(rgb, nir, hw)
 

@@ -73,8 +73,8 @@ def test_sharded_serving_matches_single_device(setup):
 
 
 @pytest.mark.parametrize("fold,stem", [(False, "pallas"), (True, "pallas"),
-                                       (True, "pallas_d")],
-                         ids=["nofold", "fold", "fold-v3"])
+                                       (True, "pallas_d"), (True, "pallas_e")],
+                         ids=["nofold", "fold", "fold-v3", "fold-v4"])
 def test_sharded_serving_pallas_backends(setup, fold, stem):
     """Mosaic custom-calls cannot be auto-partitioned; the custom_partitioning
     wrappers (ops/pallas_nms.py, ops/pallas_stem.py) declare the kernels
