@@ -45,13 +45,14 @@ def _stem_backend_resolve(stem_backend: str, cfg: ModelConfig,
         return stem_backend
     assert stem_backend == "auto", stem_backend
     # 'auto', measured on the v5e (tools/serve_ab_matrix.py, 640² fold, round
-    # 4): the gather-free v3 kernel wins at EVERY batch — ms/pair v3 vs XLA:
-    # b1 2.244/4.205 (1.87x), b8 0.823/1.851 (2.25x), b32 0.642/0.968
-    # (1.51x), b128 0.419/0.427 — the XLA stem's full-res kernels are
+    # 4): the compact-K v4 kernel wins at EVERY batch — ms/pair v4 vs v3:
+    # b1 2.245/2.298, b8 0.731/0.744, b32 0.550/0.560, b128 0.326/0.335
+    # (3070 pairs/s) — and v3 already beat the XLA stem everywhere (b1
+    # 2.244/4.205, b8 0.823/1.851): the XLA stem's full-res kernels are
     # launch-latency-bound at small batch and HBM-bound at large.  bench.py's
     # stem autotune re-decides empirically per chip either way.
     if jax.default_backend() == "tpu" and eligible:
-        return "pallas_d"
+        return "pallas_e"
     return "xla"
 
 

@@ -195,7 +195,7 @@ def test_detect_batch_pallas_stem_matches_xla_stem():
 
 
 def test_stem_backend_auto_resolution(monkeypatch):
-    """Pin the 'auto' policy (infer/pipeline._stem_backend_resolve): the v3
+    """Pin the 'auto' policy (infer/pipeline._stem_backend_resolve): the v4
     kernel wherever eligible on TPU (on-chip crossover, ROUND4.md), XLA
     elsewhere; explicit Pallas requests on ineligible configs fail loud."""
     from dcfa_yolo_tpu.config import ModelConfig
@@ -209,10 +209,10 @@ def test_stem_backend_auto_resolution(monkeypatch):
 
     # auto on the CPU test backend -> xla
     assert pipeline._stem_backend_resolve("auto", ok, batch=1) == "xla"
-    # auto on TPU -> the v3 kernel at every batch (no threshold)
+    # auto on TPU -> the v4 kernel at every batch (no threshold)
     monkeypatch.setattr(pipeline.jax, "default_backend", lambda: "tpu")
     for b in (1, 8, 32, 128):
-        assert pipeline._stem_backend_resolve("auto", ok, batch=b) == "pallas_d"
+        assert pipeline._stem_backend_resolve("auto", ok, batch=b) == "pallas_e"
 
     # ineligible configs: auto falls back to xla, explicit raises
     for bad in (ModelConfig(num_classes=1, phi="s", input_shape=(640, 640),
