@@ -117,8 +117,8 @@ def _pallas_stem_outs(variables, rgb, nir, in_hw, letterbox: bool,
                 x_cf = deinterleave_cols_cf(x_cf)
         params = stem_params(None if paired else bk, mod)
         if variant == "pallas_e":
-            wd, bias = fold_stem_params_e(*params)
-            so = pallas_stem_e(x_cf.astype(jnp.bfloat16), wd, bias,
+            we = fold_stem_params_e(*params)
+            so = pallas_stem_e(x_cf.astype(jnp.bfloat16), we,
                                w=in_hw[1], interpret=interpret)
         elif deint:
             wd, bias = fold_stem_params_d(*params)

@@ -49,6 +49,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
@@ -131,27 +132,43 @@ def fold_stem_params_d(kernel_hwio: jnp.ndarray, gamma: jnp.ndarray,
 def fold_stem_params_e(kernel_hwio: jnp.ndarray, gamma: jnp.ndarray,
                        beta: jnp.ndarray, mean: jnp.ndarray, var: jnp.ndarray,
                        eps: float = 1e-5, input_scale: float = 1.0 / 255.0):
-    """v4 (compact-K dual-parity) packing: ONE (216, 256) weight matrix.
+    """v4 (compact-K dual-parity) packing: ONE (216, 256) weight matrix,
+    bias included.
 
     Rows k = (dx*3 + ci)*24 + ry with ry = 2t + par + dy (rows 18..23 of each
     24-row band stay zero — 24 keeps every band store 8-sublane-aligned);
     columns m = par*128 + t*16 + co.  The same matrix serves BOTH column-parity
     dots: the weight value for (dx, ci, ry, par, co) does not depend on which
     canvas column parity the operand band holds — only the operand slice under
-    band dx differs (even cols: (pe0, po0, pe1); odd cols: (po0, pe1, po1))."""
-    wd, bias = fold_stem_params(kernel_hwio, gamma, beta, mean, var,
-                                eps=eps, input_scale=input_scale)
-    we = jnp.zeros((216, 256), jnp.bfloat16)
-    for dx in range(3):
-        for ci in range(3):
-            band = (dx * 3 + ci) * 24
-            src = wd[:, dx, ci * 32:ci * 32 + 18, :]      # (2, 18, 128)
-            we = we.at[band:band + 18, 0:128].set(src[0])
-            we = we.at[band:band + 18, 128:256].set(src[1])
-    return we, jnp.tile(bias, (2, 1))
+    band dx differs (even cols: (pe0, po0, pe1); odd cols: (po0, pe1, po1)).
+
+    The BN bias rides in spare row 18: the kernel pins operand scratch rows 18
+    (in the even dot's K range [0, 216)) and 90 (= 72 + 18, the odd dot's view
+    of the same row index) to 1.0, so both dots accumulate we[18, :] = bias —
+    no separate bias operand, no post-dot broadcast add.  Every other spare
+    row pairs with a zero weight row (row 90's weight row is band (dx=1,
+    ci=0) ry=18, zero by construction), so nothing else changes.
+
+    Packing is one constant-incidence einsum producing the matrix in a single
+    contiguous materialization: the on-chip b128 profile of the band-store
+    formulation showed XLA eliding the intermediate and uploading 36 separate
+    (18, 128) DMAs per iteration (results/round4_ab/kprof_b128_v4.log);
+    a single producer uploads once, like the v3 wd3 matrix."""
+    a = gamma.astype(jnp.float32) / jnp.sqrt(var.astype(jnp.float32) + eps)
+    bias = beta.astype(jnp.float32) - mean.astype(jnp.float32) * a    # (16,)
+    blk = kernel_hwio.astype(jnp.float32) * (a * input_scale)  # (dy,dx,ci,co)
+    inc = np.zeros((3, 24, 2, 8), np.float32)     # [dy, ry, par, t] incidence
+    for dy in range(3):
+        for par in range(2):
+            for t in range(8):
+                inc[dy, 2 * t + par + dy, par, t] = 1.0
+    band = jnp.einsum("dwic,drpt->wirptc", blk, jnp.asarray(inc))
+    we = band.reshape(216, 256)
+    we = we.at[18, :].set(jnp.tile(bias, 16))     # cols (par, t, co)
+    return we.astype(jnp.bfloat16)
 
 
-def _stem_kernel_e(x_ref, w_ref, b_ref, out_ref, p_ref):
+def _stem_kernel_e(x_ref, w_ref, out_ref, p_ref):
     """v4: same deinterleaved-canvas input as v3, 33% fewer MXU pass-cycles.
 
     v3 issues 3 dots of (96,256)x(96,W) per 16-row group = 6 weight-tile
@@ -172,9 +189,13 @@ def _stem_kernel_e(x_ref, w_ref, b_ref, out_ref, p_ref):
     blk = x_ref.shape[3] // 2                     # col_parity_block(W)
     hw = out_ref.shape[3]                         # W/2 pooled columns
     h = x_ref.shape[2] - 2
-    bias = b_ref[:, :]                            # (256, 1) f32
 
-    p_ref[:, :] = jnp.zeros_like(p_ref)
+    # zero the scratch with the two bias-ones rows (18 for the even dot's K
+    # range, 90 = 72+18 for the odd dot's view of the same index) baked in —
+    # one aligned full store; we[18, :] = bias (fold_stem_params_e)
+    ridx = jax.lax.broadcasted_iota(jnp.int32, p_ref.shape, 0)
+    p_ref[:, :] = jnp.where((ridx == 18) | (ridx == 90),
+                            jnp.bfloat16(1.0), jnp.bfloat16(0.0))
 
     def group(g, carry):
         ce, co_ = carry
@@ -196,10 +217,10 @@ def _stem_kernel_e(x_ref, w_ref, b_ref, out_ref, p_ref):
         a_e = jax.lax.slice(p, (0, 0), (216, hw))     # (pe0, po0, pe1) bands
         a_o = jax.lax.slice(p, (72, 0), (288, hw))    # (po0, pe1, po1) bands
         w = w_ref[:, :]
-        o_e = bias + jax.lax.dot_general(
+        o_e = jax.lax.dot_general(
             w, a_e, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)       # (256, hw): even cols
-        o_o = bias + jax.lax.dot_general(
+        o_o = jax.lax.dot_general(
             w, a_o, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)       # odd cols
         # bf16 round before the max tree (monotone → exact), as in v3
@@ -231,9 +252,10 @@ def _stem_kernel_e(x_ref, w_ref, b_ref, out_ref, p_ref):
 
 
 def _stem_call_e(w: int, x_cfd: jnp.ndarray, we: jnp.ndarray,
-                 bias3: jnp.ndarray, interpret: bool) -> jnp.ndarray:
+                 interpret: bool) -> jnp.ndarray:
     """Per-shard pallas_call for the v4 kernel — same input/output contract as
-    `_stem_call_d` (deinterleaved canvas in, (B, H/2, 16, w/2) out)."""
+    `_stem_call_d` (deinterleaved canvas in, (B, H/2, 16, w/2) out); the bias
+    rides inside `we` (fold_stem_params_e), so there is no bias operand."""
     b, c, h2, w2d = x_cfd.shape
     h = h2 - 2
     blk = w2d // 2
@@ -245,8 +267,6 @@ def _stem_call_e(w: int, x_cfd: jnp.ndarray, we: jnp.ndarray,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((216, 256), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((256, 1), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, h // 2, 16, w // 2),
                                lambda i: (i, 0, 0, 0),
@@ -255,7 +275,7 @@ def _stem_call_e(w: int, x_cfd: jnp.ndarray, we: jnp.ndarray,
         scratch_shapes=[pltpu.VMEM((288, blk), jnp.bfloat16)],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=48 * 1024 * 1024),
         interpret=interpret,
-    )(x_cfd.astype(jnp.bfloat16), we, bias3)
+    )(x_cfd.astype(jnp.bfloat16), we)
     return out
 
 
@@ -435,18 +455,24 @@ def _partitionable_stem(interpret: bool, variant: str = "v2", w: int = 0):
 
     if variant == "v2":
         impl = functools.partial(_stem_call, interpret=interpret)
-        wd_rule = "p q k m"
+        rule = "b c h w, p q k m, m u -> b e s g"
         # Shardy requires need_replication factors in rule-introduction order
         repl = ("c", "h", "w", "p", "q", "k", "m", "u", "e", "s", "g")
+        nargs = 3
     elif variant == "v4":
+        # no bias operand — it rides inside the weight matrix (v4b)
         impl = functools.partial(_stem_call_e, w, interpret=interpret)
-        wd_rule = "k m"
-        repl = ("c", "h", "w", "k", "m", "u", "e", "s", "g")
+        rule = "b c h w, k m -> b e s g"
+        repl = ("c", "h", "w", "k", "m", "e", "s", "g")
+        nargs = 2
     else:
         impl = functools.partial(_stem_call_d, w, interpret=interpret)
-        wd_rule = "q k m"
+        rule = "b c h w, q k m, m u -> b e s g"
         repl = ("c", "h", "w", "q", "k", "m", "u", "e", "s", "g")
-    fn = custom_partitioning(lambda x, w, b: impl(x, w, b))
+        nargs = 3
+    fn = custom_partitioning(
+        (lambda x, w: impl(x, w)) if nargs == 2 else
+        (lambda x, w, b: impl(x, w, b)))
 
     def _bshard(sharding, shape):
         spec0 = sharding.spec[0] if len(sharding.spec) else None
@@ -461,9 +487,9 @@ def _partitionable_stem(interpret: bool, variant: str = "v2", w: int = 0):
         return _bshard(arg_shapes[0].sharding, result_shape)
 
     def partition(mesh, arg_shapes, result_shape):
-        arg_shardings = (_bshard(arg_shapes[0].sharding, arg_shapes[0]),
-                         _repl(arg_shapes[1].sharding, arg_shapes[1]),
-                         _repl(arg_shapes[2].sharding, arg_shapes[2]))
+        arg_shardings = tuple(
+            [_bshard(arg_shapes[0].sharding, arg_shapes[0])]
+            + [_repl(a.sharding, a) for a in arg_shapes[1:]])
         result_sharding = _bshard(arg_shapes[0].sharding, result_shape)
         return mesh, impl, result_sharding, arg_shardings
 
@@ -472,7 +498,7 @@ def _partitionable_stem(interpret: bool, variant: str = "v2", w: int = 0):
         partition=partition,
         # Shardy path: only the image batch dim is elementwise; every other
         # dim (image planes, GEMM weights, bias) must stay whole per shard
-        sharding_rule=f"b c h w, {wd_rule}, m u -> b e s g",
+        sharding_rule=rule,
         need_replication_factors=repl,
     )
     return fn
@@ -523,12 +549,13 @@ def pallas_stem_d(x_cfd: jnp.ndarray, wd3: jnp.ndarray, bias3: jnp.ndarray,
 
 
 @functools.partial(jax.jit, static_argnames=("w", "interpret"))
-def pallas_stem_e(x_cfd: jnp.ndarray, we: jnp.ndarray, bias3: jnp.ndarray,
+def pallas_stem_e(x_cfd: jnp.ndarray, we: jnp.ndarray,
                   w: int, interpret: bool = False) -> jnp.ndarray:
     """v4 fused stem (compact-K dual-parity dots; see `_stem_kernel_e`).
     Same input contract as `pallas_stem_d` (column-deinterleaved canvas);
-    we/bias3 from `fold_stem_params_e`.  Agreement with v2/v3 is
-    tolerance-level, not bit-exact (K-fusion changes f32 summation order)."""
+    we from `fold_stem_params_e` (bias folded into row 18).  Agreement with
+    v2/v3 is tolerance-level, not bit-exact (K-fusion changes the f32
+    summation order; the bias rounds to bf16 inside the weight matrix)."""
     b, c, h2, w2d = x_cfd.shape
     h = h2 - 2
     if c != 3 or h % 16 or w % 2 or w2d != 2 * col_parity_block(w):
@@ -537,5 +564,5 @@ def pallas_stem_e(x_cfd: jnp.ndarray, we: jnp.ndarray, bias3: jnp.ndarray,
             f"H%16==0, w even; got {x_cfd.shape} for w={w}")
     if len(jax.devices()) > 1:
         return _partitionable_stem(interpret, "v4", w)(
-            x_cfd.astype(jnp.bfloat16), we, bias3)
-    return _stem_call_e(w, x_cfd.astype(jnp.bfloat16), we, bias3, interpret)
+            x_cfd.astype(jnp.bfloat16), we)
+    return _stem_call_e(w, x_cfd.astype(jnp.bfloat16), we, interpret)

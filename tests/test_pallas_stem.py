@@ -124,9 +124,11 @@ def test_pallas_stem_v3_bit_identical_to_v2(shape):
 def test_pallas_stem_v4_matches_v3(shape):
     """The compact-K dual-parity v4 kernel vs v3: fusing the three dx taps
     into one K=216 accumulation changes the f32 summation order (documented
-    in `_stem_kernel_e`), so agreement is tolerance-level — but the products
-    are exact in f32 (bf16 inputs) and the sums are short (≤27 terms), so
-    almost every bf16 output still rounds identically."""
+    in `_stem_kernel_e`), and v4b additionally rounds the BN bias to bf16
+    inside the weight matrix (bias-in-K, fold_stem_params_e), so agreement
+    is tolerance-level — but the products are exact in f32 (bf16 inputs) and
+    the sums are short (≤28 terms), so nearly every bf16 output still rounds
+    identically."""
     B, H, W = shape
     rng = np.random.default_rng(11)
     img = jnp.asarray(rng.integers(0, 256, (B, H, W, 3)), jnp.float32)
@@ -138,14 +140,20 @@ def test_pallas_stem_v4_matches_v3(shape):
 
     x_cfd = deinterleave_cols_cf(jnp.pad(
         jnp.transpose(img, (0, 3, 1, 2)), ((0, 0), (0, 0), (1, 1), (1, 1))))
-    o3 = pallas_stem_d(x_cfd, *fold_stem_params_d(k, gamma, beta, mean, var),
-                       w=W, interpret=True)
-    o4 = pallas_stem_e(x_cfd, *fold_stem_params_e(k, gamma, beta, mean, var),
+    wd3, bias3 = fold_stem_params_d(k, gamma, beta, mean, var)
+    o3 = pallas_stem_d(x_cfd, wd3, bias3, w=W, interpret=True)
+    o4 = pallas_stem_e(x_cfd, fold_stem_params_e(k, gamma, beta, mean, var),
                        w=W, interpret=True)
     a3 = np.asarray(o3, np.float32)
     a4 = np.asarray(o4, np.float32)
     np.testing.assert_allclose(a3, a4, atol=0.03, rtol=0.02)
-    assert (a3 == a4).mean() > 0.999
+    # against v3-with-bf16-bias (the XLA product path also applies the folded
+    # eval-BN bias in compute dtype, ops/norm.py) the remaining deviation is
+    # pure f32 summation order — nearly every output rounds identically
+    o3q = pallas_stem_d(x_cfd, wd3, bias3.astype(jnp.bfloat16).astype(
+        jnp.float32), w=W, interpret=True)
+    a3q = np.asarray(o3q, np.float32)
+    assert (a3q == a4).mean() > 0.999
 
 
 def test_letterbox_batch_cf_deinterleave_matches_gather():

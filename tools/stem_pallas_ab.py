@@ -106,12 +106,12 @@ def main():
     # tolerance-level agreement only (K fusion reorders the f32 accumulation)
     from dcfa_yolo_tpu.ops.pallas_stem import fold_stem_params_e, pallas_stem_e
 
-    we4, bias4 = fold_stem_params_e(k, g, be, mu, var)
-    o4 = pallas_stem_e(xcfd_full[:2], we4, bias4, w=W)
+    we4 = fold_stem_params_e(k, g, be, mu, var)
+    o4 = pallas_stem_e(xcfd_full[:2], we4, w=W)
     d4 = np.abs(np.asarray(o3, np.float32) - np.asarray(o4, np.float32))
     eq4 = float((np.asarray(o3) == np.asarray(o4)).mean())
     t_pal4 = timeit_chained(
-        lambda x: pallas_stem_e(x, we4, bias4, w=W).astype(jnp.float32),
+        lambda x: pallas_stem_e(x, we4, w=W).astype(jnp.float32),
         xcfd_full)
     print(f"v4 (compact-K) stem: {t_pal4*1e3:.2f} ms   vs v3: max abs "
           f"{d4.max():.5f}, exact-frac {eq4:.5f}", flush=True)
