@@ -193,9 +193,14 @@ def _stem_kernel_e(x_ref, w_ref, out_ref, p_ref):
     # zero the scratch with the two bias-ones rows (18 for the even dot's K
     # range, 90 = 72+18 for the odd dot's view of the same index) baked in —
     # one aligned full store; we[18, :] = bias (fold_stem_params_e)
+    # arithmetic indicator (no i1 vectors): newer Mosaic rejects the
+    # lane-replicated mask relayout an `(ridx==18)|(ridx==90)` select needs
+    # ("Invalid relayout: non-singleton dim replicated in destination",
+    # first seen 2026-08-20); max(0, 1-|ridx-r|) is layout-trivial
     ridx = jax.lax.broadcasted_iota(jnp.int32, p_ref.shape, 0)
-    p_ref[:, :] = jnp.where((ridx == 18) | (ridx == 90),
-                            jnp.bfloat16(1.0), jnp.bfloat16(0.0))
+    ind = (jnp.maximum(0, 1 - jnp.abs(ridx - 18))
+           + jnp.maximum(0, 1 - jnp.abs(ridx - 90)))
+    p_ref[:, :] = ind.astype(jnp.bfloat16)
 
     def group(g, carry):
         ce, co_ = carry
