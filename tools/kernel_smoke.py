@@ -10,7 +10,7 @@ against its interpret-mode reference, printing one PASS/FAIL line per kernel
 and exiting nonzero on any failure → run it first whenever a fresh container
 gets a chip grant, before trusting 'auto' defaults.
 
-Usage: python tools/kernel_smoke.py          (~2 min incl. compiles)
+Usage: python tools/kernel_smoke.py          (~3 min incl. compiles)
 """
 
 from __future__ import annotations
@@ -83,7 +83,8 @@ def stem_cases():
                          np.float32)
         # MXU K-fused accumulation order may differ from the interpret dot
         np.testing.assert_allclose(got, ref, atol=0.05, rtol=0.02)
-        assert (got == ref).mean() > 0.99
+        frac = (got == ref).mean()
+        assert frac > 0.99, f"only {frac:.4f} of elements bit-equal"
 
     check("stem v2 (pallas)", v2)
     check("stem v3 (pallas_d)", v3)
@@ -156,8 +157,16 @@ def train_stem_case():
 
 
 def main():
-    print(f"backend: {jax.default_backend()}  "
+    backend = jax.default_backend()
+    print(f"backend: {backend}  "
           f"devices: {[d.device_kind for d in jax.devices()]}", flush=True)
+    if backend not in ("tpu", "axon"):
+        # Off-chip every kernel FAILs for an unrelated reason (no Mosaic
+        # lowering on CPU) and the verdict would misread as toolchain
+        # breakage — the smoke is only meaningful on TPU.
+        print("NOT ON TPU — kernel smoke is only meaningful on-chip; "
+              "get a chip grant first (exit 2).", flush=True)
+        sys.exit(2)
     stem_cases()
     nms_cases()
     train_stem_case()
