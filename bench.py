@@ -139,6 +139,11 @@ def main() -> None:
             candidates += ["pallas", "pallas_d", "pallas_e"]
         except ValueError:
             pass
+        try:
+            _stem_backend_resolve("pallas_f", cfg, batch=batch)
+            candidates += ["pallas_f"]
+        except ValueError:
+            pass
         times = {}
         for cand in candidates:
             try:

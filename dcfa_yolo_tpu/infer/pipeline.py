@@ -35,13 +35,19 @@ def _stem_backend_resolve(stem_backend: str, cfg: ModelConfig,
                 and cfg.compute_dtype == "bfloat16"
                 and cfg.input_shape[0] % 16 == 0
                 and cfg.input_shape[1] % 2 == 0)
-    if stem_backend in ("pallas", "pallas_d", "pallas_e"):
-        if not eligible:
+    # v5 (batch-on-lanes, batch-minor output) additionally needs the batch on
+    # full 128-lane groups and the pooled width chunkable (chunk5_cw)
+    from dcfa_yolo_tpu.ops.pallas_stem import chunk5_cw
+    f_eligible = (eligible and bool(batch) and batch % 128 == 0
+                  and chunk5_cw(cfg.input_shape[1]) is not None)
+    if stem_backend in ("pallas", "pallas_d", "pallas_e", "pallas_f"):
+        if not (f_eligible if stem_backend == "pallas_f" else eligible):
             raise ValueError(
                 f"stem_backend='{stem_backend}' needs base_channels=16, bf16 "
-                f"compute, H%16==0: cfg has base_channels={cfg.base_channels}, "
+                f"compute, H%16==0 (pallas_f also batch%128==0, (W/2)%40==0): "
+                f"cfg has base_channels={cfg.base_channels}, "
                 f"compute_dtype={cfg.compute_dtype}, "
-                f"input_shape={cfg.input_shape}")
+                f"input_shape={cfg.input_shape}, batch={batch}")
         return stem_backend
     assert stem_backend == "auto", stem_backend
     # 'auto', measured on the v5e (tools/serve_ab_matrix.py, 640² fold, round
@@ -49,9 +55,14 @@ def _stem_backend_resolve(stem_backend: str, cfg: ModelConfig,
     # b1 2.245/2.298, b8 0.731/0.744, b32 0.550/0.560, b128 0.326/0.335
     # (3070 pairs/s) — and v3 already beat the XLA stem everywhere (b1
     # 2.244/4.205, b8 0.823/1.851): the XLA stem's full-res kernels are
-    # launch-latency-bound at small batch and HBM-bound at large.  bench.py's
-    # stem autotune re-decides empirically per chip either way.
+    # launch-latency-bound at small batch and HBM-bound at large.  At full
+    # 128-lane batches the round-5 v5 kernel additionally emits the
+    # batch-minor layout the large-batch convs want (killing the 2×1.7 ms
+    # stem-output relayout copies the b128 profile pinned).  bench.py's stem
+    # autotune re-decides empirically per chip either way.
     if jax.default_backend() == "tpu" and eligible:
+        if f_eligible and len(jax.devices()) == 1:
+            return "pallas_f"
         return "pallas_e"
     return "xla"
 
@@ -69,12 +80,15 @@ def _pallas_stem_outs(variables, rgb, nir, in_hw, letterbox: bool,
     interpret=False explicitly or they silently lower the interpret-mode
     emulation instead of the Mosaic kernel (tools/serve_traffic_aot.py does)."""
     from dcfa_yolo_tpu.ops.pallas_stem import (
-        fold_stem_params, fold_stem_params_d, fold_stem_params_e, pallas_stem,
-        pallas_stem_d, pallas_stem_e)
+        chunk5_cw, fold_stem_params, fold_stem_params_d, fold_stem_params_e,
+        pallas_stem, pallas_stem_d, pallas_stem_e, pallas_stem_f)
     from dcfa_yolo_tpu.ops.resize import (
-        deinterleave_cols_cf, letterbox_batch_cf, resize_bicubic)
+        chunk5_cols_cf, deinterleave_cols_cf, letterbox_batch_cf,
+        letterbox_batch_cf5, resize_bicubic)
 
     deint = variant in ("pallas_d", "pallas_e")
+    chunk5 = variant == "pallas_f"
+    cw5 = chunk5_cw(in_hw[1]) if chunk5 else None
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
@@ -98,6 +112,25 @@ def _pallas_stem_outs(variables, rgb, nir, in_hw, letterbox: bool,
     paired = "backbone_pair" in variables["params"]
     outs = []
     for img, bk, mod in ((rgb, "backbone_rgb", 0), (nir, "backbone_nir", 1)):
+        if chunk5:
+            if img.shape[1:3] != tuple(in_hw) and letterbox:
+                x5 = letterbox_batch_cf5(img, in_hw, cw=cw5)
+            else:
+                if img.shape[1:3] != tuple(in_hw):
+                    x = jnp.clip(jnp.round(resize_bicubic(
+                        img.astype(jnp.float32), in_hw)), 0, 255)
+                else:
+                    x = img.astype(jnp.float32)
+                x_cf = jnp.pad(jnp.transpose(x, (0, 3, 1, 2)),
+                               ((0, 0), (0, 0), (1, 1), (1, 1)))
+                x5 = chunk5_cols_cf(x_cf, cw5)
+            we = fold_stem_params_e(*stem_params(None if paired else bk, mod))
+            so = pallas_stem_f(x5.astype(jnp.bfloat16), we, w=in_hw[1],
+                               cw=cw5, interpret=interpret)
+            # (H/2, W/2, 16, B) → NHWC; physically a bitcast (batch-minor is
+            # the conv operand layout XLA picks at these batches)
+            outs.append(jnp.transpose(so, (3, 0, 1, 2)))
+            continue
         if img.shape[1:3] != tuple(in_hw):
             if letterbox:
                 x_cf = letterbox_batch_cf(img, in_hw,

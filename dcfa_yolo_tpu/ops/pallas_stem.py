@@ -107,6 +107,18 @@ def _deinterleave_even(x2d: jnp.ndarray, w: int) -> jnp.ndarray:
     return jnp.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
 
 
+def chunk5_cw(w: int):
+    """Column-chunk width for the v5 stem at model width `w`, or None when no
+    suitable divisor of the pooled width exists.  40 keeps the per-program
+    VMEM footprint ~20 MB at B=128; smaller widths serve the CPU-mesh tests
+    and non-640 scales."""
+    half = w // 2
+    for cw in (40, 32, 20, 16, 8):
+        if half % cw == 0:
+            return cw
+    return None
+
+
 def col_parity_block(w: int) -> int:
     """Lane-aligned width of one column-parity block of the deinterleaved
     canvas (v3 contract): W/2+1 parity columns rounded up to a 128 multiple.
@@ -374,6 +386,143 @@ def _stem_call_d(w: int, x_cfd: jnp.ndarray, wd3: jnp.ndarray,
     return out
 
 
+def _stem_kernel_f(em_ref, eh_ref, om_ref, oh_ref, w_ref, out_ref,
+                   p_ref, ce_ref, co_ref):
+    """v5: batch on the LANES, row-group grid, batch-minor output.
+
+    Motivation (round-4/5 b128 profile): the batch-gridded v4 kernel can only
+    emit per-image row-major bf16[B,H/2,16,W/2]{3,2,1,0}, and XLA relayouts it
+    to the batch-minor {0,2,3,1} the large-batch convs want — 2×1.7 ms of
+    SYNCHRONOUS TensorCore copies per b128 iteration (~8% of serving wall).
+    v5 grids over (column chunk, row group) instead of batch and flattens
+    (column, image) onto the lane dimension, so its output block
+    (8, cw, 16, B) IS the batch-minor physical layout — the logical
+    (H/2, W/2, 16, B) result is a bitcast away from the conv operand and the
+    relayout disappears.  Same dual-parity compact-K dots and weight matrix
+    as v4 (`fold_stem_params_e`): each output column's K=216 accumulation
+    order is identical, so v5 ≡ v4 bit-exactly.
+
+    Operands (same underlying canvas array, four windows):
+      em/om: (3, 16, (cw+2)*B) — even/odd parity block, rows 16g..16g+16
+      eh/oh: (3,  8, (cw+2)*B) — halo rows 16g+16..16g+24 (only the first 2
+             are used; 8 because Mosaic needs 8-divisible sublane blocks,
+             and the canvas carries 6 extra zero rows so the last group's
+             window stays in bounds)
+    Chunk columns are shifted one left (window col j = parity col w0+j-1,
+    `ops.resize._chunk5_col_map`), so the extended dots also produce conv
+    column w0-1 for the pooled-column shift; chunk 0's first window column is
+    a zero column and its (bias-polluted) conv value is masked arithmetically
+    before the horizontal max."""
+    g = pl.program_id(1)
+    wc = pl.program_id(0)
+    cw = out_ref.shape[1]
+    nb = out_ref.shape[3]                 # images per column on the lanes
+    ni = (cw + 1) * nb                    # operand lanes: cols w0-1..w0+cw
+
+    @pl.when(g == 0)
+    def _init():
+        # bias-ones rows 18/90 + zeroed spare rows (NaN×0 = NaN otherwise);
+        # arithmetic indicator — no i1 vectors (Mosaic relayout, 2026-08-20)
+        ridx = jax.lax.broadcasted_iota(jnp.int32, p_ref.shape, 0)
+        ind = (jnp.maximum(0, 1 - jnp.abs(ridx - 18))
+               + jnp.maximum(0, 1 - jnp.abs(ridx - 90)))
+        p_ref[:, :] = ind.astype(jnp.bfloat16)
+        ce_ref[:, :] = jnp.zeros_like(ce_ref)
+        co_ref[:, :] = jnp.zeros_like(co_ref)
+
+    for ci in range(3):
+        for band, (m_ref, h_ref, lo) in enumerate((
+                (em_ref, eh_ref, 0), (om_ref, oh_ref, 0),
+                (em_ref, eh_ref, nb), (om_ref, oh_ref, nb))):
+            r0 = band * 72 + ci * 24
+            p_ref[pl.ds(r0, 16), :] = m_ref[ci, :, pl.ds(lo, ni)]
+            p_ref[pl.ds(r0 + 16, 2), :] = h_ref[ci, 0:2, pl.ds(lo, ni)]
+    p = p_ref[:, :]                       # (288, ni) bf16
+    a_e = jax.lax.slice(p, (0, 0), (216, ni))      # (pe0, po0, pe1) bands
+    a_o = jax.lax.slice(p, (72, 0), (288, ni))     # (po0, pe1, po1) bands
+    w = w_ref[:, :]
+    o_e = jax.lax.dot_general(
+        w, a_e, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)        # (256, ni): even cols
+    o_o = jax.lax.dot_general(
+        w, a_o, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)        # odd cols
+    e_ev = jax.lax.slice_in_dim(o_e, 0, 128, axis=0).astype(jnp.bfloat16)
+    e_od = jax.lax.slice_in_dim(o_e, 128, 256, axis=0).astype(jnp.bfloat16)
+    o_ev = jax.lax.slice_in_dim(o_o, 0, 128, axis=0).astype(jnp.bfloat16)
+    o_od = jax.lax.slice_in_dim(o_o, 128, 256, axis=0).astype(jnp.bfloat16)
+    ce = ce_ref[:, :]
+    co_ = co_ref[:, :]
+    v_e = jnp.maximum(jnp.maximum(jnp.concatenate(
+        [ce, jax.lax.slice_in_dim(e_od, 0, 112, axis=0)], axis=0),
+        e_ev), e_od)                               # (128, ni) even cols
+    v_o = jnp.maximum(jnp.maximum(jnp.concatenate(
+        [co_, jax.lax.slice_in_dim(o_od, 0, 112, axis=0)], axis=0),
+        o_ev), o_od)                               # odd cols
+    ce_ref[:, :] = jax.lax.slice_in_dim(e_od, 112, 128, axis=0)
+    co_ref[:, :] = jax.lax.slice_in_dim(o_od, 112, 128, axis=0)
+    # pooled col n = max(v_o[n-1], v_e[n], v_o[n]); the shift by one pooled
+    # column is a shift by nb (≥128) lanes — a full aligned vreg move
+    voc_m1 = jax.lax.slice(v_o, (0, 0), (128, cw * nb))
+    # col w0-1 is pool padding exactly when wc == 0: zero it arithmetically
+    lane = jax.lax.broadcasted_iota(jnp.int32, (128, cw * nb), 1)
+    factor = jnp.maximum(jnp.minimum(lane // nb, 1),
+                         jnp.minimum(wc, 1)).astype(jnp.bfloat16)
+    voc_m1 = voc_m1 * factor
+    hmax = jnp.maximum(
+        jnp.maximum(voc_m1, jax.lax.slice(v_e, (0, nb), (128, ni))),
+        jax.lax.slice(v_o, (0, nb), (128, ni)))    # (128, cw*nb)
+    out = jnp.maximum(hmax, jnp.bfloat16(0.0))
+    # (t*16+co, w*nb+b) → (t, w, co, b): every dest (16, nb) tile is an
+    # aligned source sub-block (sublanes 16t.., lanes nb*w..) — a pure
+    # tile-permutation, no intra-vreg shuffles
+    out_ref[:] = (out.reshape(8, 16, cw, nb).transpose(0, 2, 1, 3)
+                  .astype(out_ref.dtype))
+
+
+def _stem_call_f(w: int, cw: int, x5: jnp.ndarray, we: jnp.ndarray,
+                 interpret: bool) -> jnp.ndarray:
+    """Per-shard pallas_call for the v5 kernel.  x5: the batch-minor chunked
+    canvas (3, H+8, NC, B) with NC = 2*WC*(cw+2) (`letterbox_batch_cf5`);
+    we from `fold_stem_params_e` (same matrix as v4).  Returns the
+    batch-minor pooled stem output (H/2, W/2, 16, B)."""
+    c, h2, nc, b = x5.shape
+    h = h2 - 8
+    wcn = (w // 2) // cw
+    lw = (cw + 2) * b
+    x5f = x5.astype(jnp.bfloat16).reshape(3, h2, nc * b)
+    out = pl.pallas_call(
+        _stem_kernel_f,
+        grid=(wcn, h // 16),
+        in_specs=[
+            pl.BlockSpec((3, 16, lw), lambda wc, g: (0, g, wc),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, 8, lw), lambda wc, g: (0, 2 * g + 2, wc),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, 16, lw), lambda wc, g, _n=wcn: (0, g, _n + wc),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, 8, lw),
+                         lambda wc, g, _n=wcn: (0, 2 * g + 2, _n + wc),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((216, 256), lambda wc, g: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((8, cw, 16, b), lambda wc, g: (g, wc, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((h // 2, w // 2, 16, b), jnp.bfloat16),
+        scratch_shapes=[
+            pltpu.VMEM((288, (cw + 1) * b), jnp.bfloat16),
+            pltpu.VMEM((16, (cw + 1) * b), jnp.bfloat16),
+            pltpu.VMEM((16, (cw + 1) * b), jnp.bfloat16),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=interpret,
+    )(x5f, x5f, x5f, x5f, we)
+    return out
+
+
 def _stem_kernel(x_ref, wd_ref, b_ref, out_ref, p_ref):
     w2 = x_ref.shape[3]
     w = w2 - 2
@@ -450,7 +599,8 @@ def _stem_call(x_cf: jnp.ndarray, wd: jnp.ndarray, bias: jnp.ndarray,
 
 
 @functools.lru_cache(maxsize=None)
-def _partitionable_stem(interpret: bool, variant: str = "v2", w: int = 0):
+def _partitionable_stem(interpret: bool, variant: str = "v2", w: int = 0,
+                        cw: int = 0):
     """Mosaic custom-calls cannot be auto-partitioned by GSPMD/Shardy; the
     stem is trivially batch-parallel (grid=(B,)), so declare batch dim 0 of
     the image passthrough and everything else (weights, bias) replicated —
@@ -470,6 +620,13 @@ def _partitionable_stem(interpret: bool, variant: str = "v2", w: int = 0):
         rule = "b c h w, k m -> b e s g"
         repl = ("c", "h", "w", "k", "m", "e", "s", "g")
         nargs = 2
+    elif variant == "v5":
+        # batch is the MINOR dim of both canvas and output (pallas_stem_f);
+        # cw rides in the second static slot
+        impl = functools.partial(_stem_call_f, w, cw, interpret=interpret)
+        rule = "c h q b, k m -> p s g b"
+        repl = ("c", "h", "q", "k", "m", "p", "s", "g")
+        nargs = 2
     else:
         impl = functools.partial(_stem_call_d, w, interpret=interpret)
         rule = "b c h w, q k m, m u -> b e s g"
@@ -478,11 +635,18 @@ def _partitionable_stem(interpret: bool, variant: str = "v2", w: int = 0):
     fn = custom_partitioning(
         (lambda x, w: impl(x, w)) if nargs == 2 else
         (lambda x, w, b: impl(x, w, b)))
+    # which axis of the image operand / result carries the batch: dim 0 for
+    # the per-image-gridded kernels, the MINOR dim for v5 (batch-on-lanes)
+    bdim = -1 if variant == "v5" else 0
 
     def _bshard(sharding, shape):
-        spec0 = sharding.spec[0] if len(sharding.spec) else None
-        return NamedSharding(sharding.mesh,
-                             P(spec0, *([None] * (len(shape.shape) - 1))))
+        nd = len(shape.shape)
+        ax = bdim % nd
+        spec_b = (sharding.spec[ax]
+                  if len(sharding.spec) > ax else None)
+        parts = [None] * nd
+        parts[ax] = spec_b
+        return NamedSharding(sharding.mesh, P(*parts))
 
     def _repl(sharding, shape):
         return NamedSharding(sharding.mesh,
@@ -571,3 +735,31 @@ def pallas_stem_e(x_cfd: jnp.ndarray, we: jnp.ndarray,
         return _partitionable_stem(interpret, "v4", w)(
             x_cfd.astype(jnp.bfloat16), we)
     return _stem_call_e(w, x_cfd.astype(jnp.bfloat16), we, interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("w", "cw", "interpret"))
+def pallas_stem_f(x5: jnp.ndarray, we: jnp.ndarray, w: int, cw: int = 40,
+                  interpret: bool = False) -> jnp.ndarray:
+    """v5 fused stem (batch-on-lanes, batch-minor output; `_stem_kernel_f`).
+
+    x5: (3, H+8, 2*WC*(cw+2), B) — the chunked, shifted, duplicated-halo
+    batch-minor canvas (`ops.resize.letterbox_batch_cf5`; the last 6 rows
+    are zero padding for the 8-row halo windows), raw 0..255.
+    we: from `fold_stem_params_e` (the v4 matrix, reused verbatim).
+    Returns (H/2, w/2, 16, B) bf16 — physically the batch-minor layout XLA's
+    large-batch convs consume, so the NHWC transpose downstream is a bitcast.
+    Bit-identical to `pallas_stem_e` per element (same K=216 accumulation
+    order per output column).  Needs B % 128 == 0 (lane alignment) and
+    (w/2) % cw == 0."""
+    c, h2, nc, b = x5.shape
+    h = h2 - 8
+    wcn = (w // 2) // cw if cw else 0
+    if (c != 3 or h % 16 or w % 2 or b % 128 or not cw
+            or (w // 2) % cw or nc != 2 * wcn * (cw + 2)):
+        raise ValueError(
+            f"pallas_stem_f needs (3,H+8,2*WC*(cw+2),B) with H%16==0, "
+            f"(w/2)%cw==0, B%128==0; got {x5.shape} for w={w}, cw={cw}")
+    if len(jax.devices()) > 1:
+        return _partitionable_stem(interpret, "v5", w, cw)(
+            x5.astype(jnp.bfloat16), we)
+    return _stem_call_f(w, cw, x5.astype(jnp.bfloat16), we, interpret)

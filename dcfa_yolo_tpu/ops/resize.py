@@ -16,6 +16,7 @@ import functools
 from typing import Tuple
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 
@@ -163,6 +164,110 @@ def _col_parity_permute(tw: int) -> "np.ndarray":
     idx[:half] = np.arange(half) * 2
     idx[blk:blk + half] = np.arange(half) * 2 + 1
     return idx
+
+
+def _chunk5_col_map(tw: int, cw: int) -> "np.ndarray":
+    """Column map for the v5 stem's chunked, shifted, duplicated-halo
+    deinterleaved canvas (ops/pallas_stem.py `pallas_stem_f` contract).
+
+    The v5 kernel grids over (column chunk, row group) with the BATCH on the
+    lane dimension, so its per-chunk windows must be regular BlockSpec blocks:
+    column q = parity*WC*(cw+2) + wc*(cw+2) + j holds parity column
+    (wc*cw + j - 1) of the bordered canvas — each chunk carries its own
+    1-column halo on both sides (duplicated between neighbours, free: the
+    duplication is extra rows of the constant horizontal resize matrix), and
+    j==0 of chunk 0 is a pure zero column standing in for the pool's col -1
+    padding.  Returns idx (2*WC*(cw+2),) with the bordered-canvas column per
+    v5 column, -1 for the zero column.  WC = (tw//2) // cw."""
+    half = tw // 2
+    if half % cw:
+        raise ValueError(f"tw/2={half} not divisible by chunk width {cw}")
+    wcn = half // cw
+    idx = np.full(2 * wcn * (cw + 2), -1, np.int64)
+    q = 0
+    for parity in range(2):
+        for wc in range(wcn):
+            for j in range(cw + 2):
+                p_c = wc * cw + j - 1
+                if 0 <= p_c <= half:
+                    idx[q] = 2 * p_c + parity
+                q += 1
+    return idx
+
+
+def chunk5_cols_cf(x_cf: jnp.ndarray, cw: int) -> jnp.ndarray:
+    """Map a plain bordered canvas (B, 3, H+2, W+2) to the v5 stem contract
+    (3, H+8, NC, B) with NC = 2*WC*(cw+2) — one XLA gather + transpose at
+    full resolution.  Serves the no-resample / plain-resize paths and tests;
+    the letterbox path gets the layout for free from the resize matrices
+    (`letterbox_batch_cf5`).  Rows are padded H+2 → H+8 with zeros so the
+    kernel's 8-row halo BlockSpec windows stay in bounds (Mosaic requires
+    8-divisible sublane block dims)."""
+    tw = x_cf.shape[3] - 2
+    idx = _chunk5_col_map(tw, cw)
+    taken = jnp.take(x_cf, jnp.asarray(np.maximum(idx, 0)), axis=3)
+    mask = jnp.asarray(idx >= 0, x_cf.dtype)
+    out = jnp.transpose(taken * mask, (1, 2, 3, 0))
+    return jnp.pad(out, ((0, 0), (0, 6), (0, 0), (0, 0)))
+
+
+def letterbox_batch_cf5(
+    images: jnp.ndarray,
+    target_hw: Tuple[int, int],
+    cw: int = 40,
+    pad_value: float = 128.0,
+    pil_parity: bool = True,
+) -> jnp.ndarray:
+    """Letterbox straight into the v5 stem's batch-minor chunked canvas
+    (3, H+8, NC, B), NC = 2*WC*(cw+2) (see `_chunk5_col_map`; the 6 extra
+    zero rows keep the kernel's 8-row halo windows in bounds and cost
+    nothing — they are zero rows of the vertical resize matrix).
+
+    Batch rides on the MINOR dimension so the Pallas kernel can put it on
+    vector lanes; the two resize passes are batched dot_generals arranged so
+    each one's NATURAL result order is already the layout the next consumer
+    wants — (c, q, h, b) after the horizontal pass, (c, p, q, b) after the
+    vertical — leaving only one relayout in the whole chain, on the SMALLEST
+    tensor (the uint8 input).  Sampling math identical to `letterbox_batch`
+    (PIL BICUBIC parity incl. the uint8 round between passes,
+    `/root/reference/utils/utils.py:24-37`)."""
+    ih, iw = images.shape[1], images.shape[2]
+    th, tw = target_hw
+    scale = min(tw / iw, th / ih)
+    nw, nh = int(iw * scale), int(ih * scale)
+    if (nh, nw) == (ih, iw):
+        x = jnp.clip(jnp.round(images.astype(jnp.float32)), 0.0, 255.0)
+        pad_top, pad_left = (th - nh) // 2, (tw - nw) // 2
+        x_cf = jnp.pad(
+            jnp.transpose(x, (0, 3, 1, 2)),
+            ((0, 0), (0, 0), (pad_top + 1, th - nh - pad_top + 1),
+             (pad_left + 1, tw - nw - pad_left + 1)),
+            constant_values=pad_value)
+        # outer ring back to zero (conv border)
+        x_cf = x_cf.at[:, :, 0, :].set(0.0).at[:, :, -1, :].set(0.0)
+        x_cf = x_cf.at[:, :, :, 0].set(0.0).at[:, :, :, -1].set(0.0)
+        return chunk5_cols_cf(x_cf, cw)
+    ah, aw, g = _letterbox_matrices(ih, iw, nh, nw, th, tw, pad_value,
+                                    pil_parity, border=1)
+    idx = _chunk5_col_map(tw, cw)
+    live = idx >= 0
+    aw5 = np.zeros((len(idx), iw), np.float32)
+    aw5[live] = aw[idx[live]]
+    g5 = np.zeros((g.shape[0], len(idx)), np.float32)
+    g5[:, live] = g[:, idx[live]]
+    ah = np.concatenate([ah, np.zeros((6, ih), np.float32)], axis=0)
+    g5 = np.concatenate([g5, np.zeros((6, g5.shape[1]), np.float32)], axis=0)
+    x_t = jnp.transpose(images, (3, 1, 2, 0)).astype(jnp.float32)  # (c,h,w,b)
+    aw5_b = jnp.broadcast_to(jnp.asarray(aw5), (3,) + aw5.shape)
+    x1 = jax.lax.dot_general(  # (c, q, h, b)
+        aw5_b, x_t, (((2,), (2,)), ((0,), (0,))))
+    if pil_parity:
+        x1 = jnp.clip(jnp.round(x1), 0.0, 255.0)
+    ah_b = jnp.broadcast_to(jnp.asarray(ah), (3,) + ah.shape)
+    x5 = jax.lax.dot_general(  # (c, p, q, b)
+        ah_b, x1, (((2,), (2,)), ((0,), (0,))))
+    x5 = jnp.clip(jnp.round(x5), 0.0, 255.0)
+    return x5 + jnp.asarray(g5, x5.dtype)[None, :, :, None]
 
 
 def deinterleave_cols_cf(x_cf: jnp.ndarray) -> jnp.ndarray:

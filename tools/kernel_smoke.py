@@ -46,8 +46,9 @@ def check(name, fn):
 def stem_cases():
     from dcfa_yolo_tpu.ops.pallas_stem import (
         col_parity_block, fold_stem_params, fold_stem_params_d,
-        fold_stem_params_e, pallas_stem, pallas_stem_d, pallas_stem_e)
-    from dcfa_yolo_tpu.ops.resize import deinterleave_cols_cf
+        fold_stem_params_e, pallas_stem, pallas_stem_d, pallas_stem_e,
+        pallas_stem_f)
+    from dcfa_yolo_tpu.ops.resize import chunk5_cols_cf, deinterleave_cols_cf
 
     B, H, W = 1, 32, 64
     rng = np.random.default_rng(3)
@@ -86,9 +87,32 @@ def stem_cases():
         frac = (got == ref).mean()
         assert frac > 0.99, f"only {frac:.4f} of elements bit-equal"
 
+    def v5():
+        # batch-on-lanes kernel: needs B % 128 == 0.  On-chip it shares v4's
+        # MXU K-fused accumulation (vs the interpret dot), so interpret
+        # agreement is tolerance-level; on-chip v5 ≡ on-chip v4 bit-exactly.
+        b5 = 128
+        img5 = jnp.asarray(rng.integers(0, 256, (b5, H, W, 3)), jnp.float32)
+        x_cf5 = jnp.pad(jnp.transpose(img5, (0, 3, 1, 2)),
+                        ((0, 0), (0, 0), (1, 1), (1, 1)))
+        x5 = chunk5_cols_cf(x_cf5, 8)
+        got5 = np.asarray(pallas_stem_f(x5, we, w=W, cw=8, interpret=False),
+                          np.float32)
+        ref = np.asarray(pallas_stem_f(x5, we, w=W, cw=8, interpret=True),
+                         np.float32)
+        np.testing.assert_allclose(got5, ref, atol=0.05, rtol=0.02)
+        frac = (got5 == ref).mean()
+        assert frac > 0.99, f"only {frac:.4f} of elements bit-equal"
+        x_cfd5 = deinterleave_cols_cf(x_cf5)
+        v4chip = np.asarray(pallas_stem_e(x_cfd5, we, w=W, interpret=False),
+                            np.float32)
+        got_bhcw = np.transpose(got5, (3, 0, 2, 1))
+        np.testing.assert_array_equal(got_bhcw, v4chip)
+
     check("stem v2 (pallas)", v2)
     check("stem v3 (pallas_d)", v3)
     check("stem v4 (pallas_e)", v4)
+    check("stem v5 (pallas_f)", v5)
 
 
 def nms_cases():
