@@ -266,6 +266,12 @@ def letterbox_batch_cf5(
     ah_b = jnp.broadcast_to(jnp.asarray(ah), (3,) + ah.shape)
     x5 = jax.lax.dot_general(  # (c, p, q, b)
         ah_b, x1, (((2,), (2,)), ((0,), (0,))))
+    # NOTE a ~1 ms/modality layout copy into the custom call is inherent
+    # here: TPU (8,128) tiling over the two minor dims means the kernel's
+    # flattened (q·b) lane view re-groups sublanes, so SOME pass over the
+    # canvas pays it.  A flattened-operand vertical-dot formulation was
+    # measured byte-identical in chain cost (round-5 profile: 1.0 u8-relayout
+    # + 1.07 vertical + 1.03 layout copy either way) — keep the simple form.
     x5 = jnp.clip(jnp.round(x5), 0.0, 255.0)
     return x5 + jnp.asarray(g5, x5.dtype)[None, :, :, None]
 

@@ -115,6 +115,25 @@ def main():
         xcfd_full)
     print(f"v4 (compact-K) stem: {t_pal4*1e3:.2f} ms   vs v3: max abs "
           f"{d4.max():.5f}, exact-frac {eq4:.5f}", flush=True)
+    # v5: batch-on-lanes, batch-minor output (needs B % 128 == 0); same dots
+    # as v4 -> bit-equal on-chip.  Standalone timing EXCLUDES its real win
+    # (the downstream relayout removal) — the pipeline A/B is the decider.
+    if B % 128 == 0:
+        from dcfa_yolo_tpu.ops.pallas_stem import chunk5_cw, pallas_stem_f
+        from dcfa_yolo_tpu.ops.resize import chunk5_cols_cf
+
+        cw5 = chunk5_cw(W)
+        if cw5:
+            x5_full = jax.jit(lambda x: chunk5_cols_cf(x, cw5))(xcf_full)
+            o5 = pallas_stem_f(x5_full, we4, w=W, cw=cw5)
+            eq5 = float((np.asarray(jnp.transpose(o5, (3, 0, 2, 1)))
+                         == np.asarray(pallas_stem_e(xcfd_full, we4, w=W))
+                         ).mean())
+            t_pal5 = timeit_chained(
+                lambda x: pallas_stem_f(x, we4, w=W, cw=cw5)
+                .astype(jnp.float32), x5_full)
+            print(f"v5 (batch-minor) stem: {t_pal5*1e3:.2f} ms   vs v4 "
+                  f"on-chip exact-frac {eq5:.5f}", flush=True)
     # end-to-end equivalent: include the NHWC raw → CF-bordered arrangement
     def pal_e2e(x):
         xc = jnp.pad(jnp.transpose(x, (0, 3, 1, 2)),
