@@ -65,6 +65,7 @@ class YOLOPredictor:
         stem_backend: str = "auto",
         fold_shuffle: bool = False,
         pair_backbones: bool = False,
+        split_neck_concats: bool = False,
         cast_weights: bool = False,
     ):
         if class_names is None:
@@ -96,7 +97,8 @@ class YOLOPredictor:
             num_classes=self.num_classes, phi=phi,
             input_shape=tuple(input_shape), compute_dtype=compute_dtype)
         self.model = DCFAYolo(self.cfg, deploy=deploy, fold_shuffle=fold_shuffle,
-                              pair_backbones=pair_backbones)
+                              pair_backbones=pair_backbones,
+                              split_neck_concats=split_neck_concats)
         if variables is not None:
             # caller-supplied variables must match the chosen graph (deploy
             # callers pass the output of deploy_variables; fold_shuffle callers

@@ -261,16 +261,26 @@ class SPPFCBAM(nn.Module):
 
 class ConcatBiFPN(nn.Module):
     """Weighted concat of three maps: learnable scalar weights normalized by
-    sum+1e-4, inputs scaled then concatenated (`nets/yolo_mul.py:36-51`)."""
+    sum+1e-4, inputs scaled then concatenated (`nets/yolo_mul.py:36-51`).
+
+    With `return_parts=True` the scaled inputs are returned as a tuple
+    instead of concatenated — the consumer (a C2fRepGhost whose cv1 is a 1×1
+    conv) then computes conv(concat) as a sum of sliced-kernel part convs
+    (ops/conv.py ConvBnAct parts path), eliminating the concat buffer from
+    the serving graph.  Same parameter ('w'), same math."""
 
     dtype: Any = jnp.float32
+    return_parts: bool = False
 
     @nn.compact
-    def __call__(self, xs: Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]) -> jnp.ndarray:
+    def __call__(self, xs: Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]):
         w = self.param("w", nn.initializers.ones, (3,), jnp.float32)
         w = w / (jnp.sum(w) + 1e-4)
         w = w.astype(xs[0].dtype)
-        return jnp.concatenate([w[0] * xs[0], w[1] * xs[1], w[2] * xs[2]], axis=-1)
+        parts = (w[0] * xs[0], w[1] * xs[1], w[2] * xs[2])
+        if self.return_parts:
+            return parts
+        return jnp.concatenate(parts, axis=-1)
 
 
 def dfl_decode(box_logits: jnp.ndarray, reg_max: int = 16) -> jnp.ndarray:
@@ -434,11 +444,16 @@ class C2fRepGhost(nn.Module):
     n: int = 1
     expansion: float = 0.5
     deploy: bool = False
+    # Serving option: feed cv2 its concat inputs as PARTS (sum of
+    # sliced-kernel 1×1 convs, ops/conv.py) instead of materializing the
+    # (n+2)c channel concat; cv1 takes parts whenever the caller passes a
+    # tuple (the neck's BiFPN/down-path concat sites).
+    split_concats: bool = False
     axis_name: Optional[str] = None
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+    def __call__(self, x, train: bool = False) -> jnp.ndarray:
         c = int(self.features * self.expansion)
         x = ConvBnAct(2 * c, 1, 1, bn_eps=1e-5, bn_momentum=0.1,
                       axis_name=self.axis_name, dtype=self.dtype, name="cv1")(x, train=train)
@@ -448,7 +463,7 @@ class C2fRepGhost(nn.Module):
                 RepGhostBottleneck(c, c, deploy=self.deploy, axis_name=self.axis_name,
                                    dtype=self.dtype, name=f"m{i}")(y[-1], train=train)
             )
-        out = jnp.concatenate(y, axis=-1)
+        out = tuple(y) if self.split_concats else jnp.concatenate(y, axis=-1)
         return ConvBnAct(self.features, 1, 1, bn_eps=1e-5, bn_momentum=0.1,
                          axis_name=self.axis_name, dtype=self.dtype,
                          name="cv2")(out, train=train)

@@ -58,6 +58,15 @@ class DCFAYolo(nn.Module):
     # MB/pair — the block-diagonal kernels add FLOPs).  Requires fold_shuffle
     # and variables from `pairing.pair_backbone_variables`; eval graph only.
     pair_backbones: bool = False
+    # Serving graph with the neck's concat buffers eliminated: every concat
+    # feeding a 1×1 conv (the three BiFPN fusions, the down-path concat, and
+    # each C2fRepGhost's internal y-concat) becomes a sum of sliced-kernel
+    # part convs (ops/conv.py ConvBnAct parts path).  Same parameters; exact
+    # up to the K-split partial accumulation order (fold_shuffle's deviation
+    # class).  XLA fuses elementwise producers into conv operands but never
+    # a concatenate, so each of these concats is a real HBM round-trip —
+    # measured 1.55 ms/iter for the P3 site alone at b128 640².
+    split_neck_concats: bool = False
     axis_name: Optional[str] = None
 
     @nn.compact
@@ -154,7 +163,10 @@ class DCFAYolo(nn.Module):
 
             # One ConcatBiFPN instance shared across all three fusion points, like the
             # reference's single `self.bi_fpn` (`nets/yolo_mul.py:344,428,435,443`).
-            bi_fpn = ConcatBiFPN(dtype=dtype, name="bi_fpn")
+            split = self.split_neck_concats
+            bi_fpn = ConcatBiFPN(dtype=dtype, name="bi_fpn",
+                                 return_parts=split)
+            ckw = dict(deploy=self.deploy, split_concats=split, **kw)
 
             # ---- PAN neck ----
             p4_hw = feat2_rgb.shape[1:3]
@@ -162,23 +174,24 @@ class DCFAYolo(nn.Module):
 
             p5_up = resize_bilinear_align_corners(feat3, p4_hw)
             p4 = bi_fpn((p5_up, feat2_rgb, feat2_nir))
-            p4 = C2fRepGhost(bc * 8, n=depth, deploy=self.deploy,
-                             name="conv3_for_upsample1", **kw)(p4, train=train)
+            p4 = C2fRepGhost(bc * 8, n=depth,
+                             name="conv3_for_upsample1", **ckw)(p4, train=train)
 
             p4_up = resize_bilinear_align_corners(p4, p3_hw)
             p3 = bi_fpn((p4_up, feat1_rgb, feat1_nir))
-            p3 = C2fRepGhost(bc * 4, n=depth, deploy=self.deploy,
-                             name="conv3_for_upsample2", **kw)(p3, train=train)
+            p3 = C2fRepGhost(bc * 4, n=depth,
+                             name="conv3_for_upsample2", **ckw)(p3, train=train)
 
             p3_down = ConvBnAct(bc * 4, 3, 2, name="down_sample1", **kw)(p3, train=train)
-            p4 = jnp.concatenate([p3_down, p4], axis=-1)
-            p4 = C2fRepGhost(bc * 8, n=depth, deploy=self.deploy,
-                             name="conv3_for_downsample1", **kw)(p4, train=train)
+            p4 = ((p3_down, p4) if split
+                  else jnp.concatenate([p3_down, p4], axis=-1))
+            p4 = C2fRepGhost(bc * 8, n=depth,
+                             name="conv3_for_downsample1", **ckw)(p4, train=train)
 
             p4_down = ConvBnAct(bc * 8, 3, 2, name="down_sample2", **kw)(p4, train=train)
             p5 = bi_fpn((p4_down, feat3_rgb, feat3_nir))
-            p5 = C2fRepGhost(deep, n=depth, deploy=self.deploy,
-                             name="conv3_for_downsample2", **kw)(p5, train=train)
+            p5 = C2fRepGhost(deep, n=depth,
+                             name="conv3_for_downsample2", **ckw)(p5, train=train)
 
         # ---- Decoupled head (`nets/yolo_mul.py:387-391,452-453`) ----
         ch = cfg.feat_channels

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from typing import Any, Optional
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -117,8 +118,8 @@ class ConvBnAct(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        x = torch_conv(
+    def __call__(self, x, train: bool = False) -> jnp.ndarray:
+        conv_mod = torch_conv(
             self.features,
             self.kernel_size,
             self.stride,
@@ -128,7 +129,43 @@ class ConvBnAct(nn.Module):
             use_bias=False,
             dtype=self.dtype,
             name="conv",
-        )(x)
+        )
+        if isinstance(x, (tuple, list)):
+            # Concat-through-conv: conv(concat(parts)) == Σ conv_i(part_i)
+            # with the kernel's input-channel rows sliced per part — the
+            # concat buffer (HBM write + conv re-read) disappears; any
+            # upstream scale multiplies fuse into each part conv's operand
+            # (XLA fuses elementwise chains into conv inputs, but never a
+            # multi-operand concatenate).  Exact up to the K-split partial
+            # accumulation order (partials in f32, summed in f32, rounded
+            # once — the same deviation class as fold_shuffle).  Only valid
+            # for 1x1 convs (no cross-channel spatial taps to split).
+            if self.kernel_size != 1 or self.groups != 1:
+                raise ValueError("parts input needs a 1x1 ungrouped conv")
+            if self.is_initializing():
+                y = conv_mod(jnp.concatenate(
+                    [p.astype(self.dtype) for p in x], axis=-1)
+                ).astype(jnp.float32)
+            else:
+                kern = self.variables["params"]["conv"]["kernel"]
+                o, y = 0, None
+                for p in x:
+                    ci = p.shape[-1]
+                    w = kern[:, :, o:o + ci, :].astype(self.dtype)
+                    yi = jax.lax.conv_general_dilated(
+                        p.astype(self.dtype), w, (self.stride, self.stride),
+                        [(0, 0), (0, 0)],
+                        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                        preferred_element_type=jnp.float32)
+                    y = yi if y is None else y + yi
+                    o += ci
+                if o != kern.shape[2]:
+                    raise ValueError(
+                        f"parts channels {o} != conv in-channels "
+                        f"{kern.shape[2]}")
+            x = y.astype(self.dtype)
+        else:
+            x = conv_mod(x)
         x = torch_batchnorm(
             eps=self.bn_eps,
             torch_momentum=self.bn_momentum,

@@ -33,7 +33,8 @@ import numpy as np
 
 
 def time_config(batch: int, stem: str, fold: bool, iters: int,
-                pair: bool = False, size: int = 640) -> float:
+                pair: bool = False, size: int = 640,
+                split: bool = False) -> float:
     from dcfa_yolo_tpu.config import ModelConfig
     from dcfa_yolo_tpu.infer.pipeline import detect_batch
     from dcfa_yolo_tpu.models.reparam import deploy_variables, fold_shuffle_variables
@@ -42,7 +43,8 @@ def time_config(batch: int, stem: str, fold: bool, iters: int,
     cfg = ModelConfig(num_classes=1, phi="n", input_shape=(size, size),
                       compute_dtype="bfloat16")
     _, variables = init_model(cfg, jax.random.PRNGKey(0))
-    model = DCFAYolo(cfg, deploy=True, fold_shuffle=fold, pair_backbones=pair)
+    model = DCFAYolo(cfg, deploy=True, fold_shuffle=fold, pair_backbones=pair,
+                     split_neck_concats=split)
     variables = jax.jit(deploy_variables)(variables)
     if fold:
         variables = jax.jit(fold_shuffle_variables)(variables)
@@ -86,14 +88,17 @@ def main():
     iters = int(os.environ.get("AB_ITERS", "20"))
     size = int(os.environ.get("AB_SIZE", "640"))
     configs = os.environ.get("AB_CONFIGS", "plain,fold,pair").split(",")
-    modes = [m for m in (("plain", False, False), ("fold", True, False),
-                         ("pair", True, True)) if m[0] in configs]
+    modes = [m for m in (("plain", False, False, False),
+                         ("fold", True, False, False),
+                         ("pair", True, True, False),
+                         ("fsplit", True, False, True))
+             if m[0] in configs]
     print(f"device: {jax.devices()[0].device_kind}  {size}^2", flush=True)
     for batch in batches:
         for stem in os.environ.get("AB_STEMS", "xla,pallas").split(","):
-            for name, fold, pair in modes:
+            for name, fold, pair, split in modes:
                 dt = time_config(batch, stem, fold, iters, pair=pair,
-                                 size=size)
+                                 size=size, split=split)
                 print(f"b{batch:<4d} stem={stem:6s} {name:5s}: "
                       f"{dt*1e3/batch:7.3f} ms/pair  {batch/dt:8.1f} pairs/s",
                       flush=True)
