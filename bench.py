@@ -133,10 +133,15 @@ def main() -> None:
     if stem_backend == "autotune":
         from dcfa_yolo_tpu.infer.pipeline import _stem_backend_resolve
 
+        # v2 ('pallas') is excluded from the default autotune: it never wins
+        # (round-4/5: 2537-2610 vs 2760+ for v3/v4) and it is the one kernel
+        # using the drift-sensitive tpu.dynamic_gather; v3 (gather-free) is
+        # the robust fallback when v4/v5 fail to compile on a new toolchain.
+        # BENCH_STEM=pallas still times it explicitly.
         candidates = ["xla"]
         try:
             _stem_backend_resolve("pallas", cfg)
-            candidates += ["pallas", "pallas_d", "pallas_e"]
+            candidates += ["pallas_d", "pallas_e"]
         except ValueError:
             pass
         try:
@@ -165,7 +170,12 @@ def main() -> None:
     flops_per_pair = float(ca.get("flops", float("nan"))) / batch
     bytes_per_pair = float(ca.get("bytes accessed", float("nan"))) / batch
 
-    dt = timeit_chained(fn, (rgb, nir), iters=iters)
+    # steady-state slope timing: each burst's final payload-fetch RPC over
+    # the axon tunnel costs a fixed ~20-25 ms; at iters=10 that inflates the
+    # per-iteration time ~6% at b128 (~50% at b1).  The slope between a
+    # 1x and 3x burst subtracts it exactly while the dependency chain still
+    # serializes the device (utils/profiling.timeit_chained).
+    dt = timeit_chained(fn, (rgb, nir), iters=iters, subtract_fixed=True)
     pairs_per_sec = batch / dt
 
     dev_kind = jax.devices()[0].device_kind
@@ -205,7 +215,8 @@ def main() -> None:
                                     pre_nms_topk=512, nms_backend=nms_backend,
                                     stem_backend="auto")
 
-            b1_ms = round(timeit_chained(fn1, (rgb1, nir1), iters=30) * 1e3, 3)
+            b1_ms = round(timeit_chained(fn1, (rgb1, nir1), iters=30,
+                                         subtract_fixed=True) * 1e3, 3)
         except Exception:
             b1_ms = None
 
@@ -226,7 +237,9 @@ def main() -> None:
         "stem_backend": stem_backend,
         "stem_autotune": autotune_note,
         "b1_ms_pair": b1_ms,
-        "timing": "chained-dependency (see utils/profiling.timeit_chained)",
+        "timing": "chained-dependency steady-state slope (fixed per-burst "
+                  "fetch-RPC subtracted; utils/profiling.timeit_chained "
+                  "subtract_fixed)",
     }))
 
 

@@ -56,7 +56,8 @@ class StepTimer:
 
 
 def timeit_chained(fn, args, *, perturb_argnum: int = 0, iters: int = 50,
-                   trials: int = 3, warmup: int = 8) -> float:
+                   trials: int = 3, warmup: int = 8,
+                   subtract_fixed: bool = False) -> float:
     """Median seconds per call of `fn(*args)`, measured honestly on remote
     platforms.
 
@@ -68,6 +69,15 @@ def timeit_chained(fn, args, *, perturb_argnum: int = 0, iters: int = 50,
     actually finished (round-1 bench reported 25.7k pairs/s, an impossible
     >100% MFU; the chained measure gives the truth).  Only one blocking sync
     per trial, so per-iteration host round-trips don't pollute the number.
+
+    subtract_fixed=True additionally measures each trial at `iters` AND
+    `3*iters` chained calls and returns the SLOPE (T3 - T1) / (2*iters) —
+    the steady-state per-call time with the per-burst fixed cost (the final
+    payload-fetch RPC over the tunnel, ~20-25 ms measured round 5)
+    subtracted exactly.  The chain still serializes the device, so the slope
+    cannot under-measure device time; burst timings at 20/40/80 iterations
+    fit T = fixed + N*t to ~2% (ROUND5.md).  Without it, short bursts
+    overstate per-call time — by ~50% at batch-1 latency scales.
     """
     import jax
     import jax.numpy as jnp
@@ -87,15 +97,24 @@ def timeit_chained(fn, args, *, perturb_argnum: int = 0, iters: int = 50,
     for _ in range(warmup):
         out, eps = chained(eps, *args)
     jax.block_until_ready(out)
-    times = []
-    for _ in range(trials):
+    def burst(n):
+        nonlocal out, eps
         t0 = time.perf_counter()
-        for _ in range(iters):
+        for _ in range(n):
             out, eps = chained(eps, *args)
         jax.block_until_ready(out)
         # belt and braces: force a real payload fetch of the chain scalar
         float(eps)
-        times.append((time.perf_counter() - t0) / iters)
+        return time.perf_counter() - t0
+
+    times = []
+    for _ in range(trials):
+        if subtract_fixed:
+            t1 = burst(iters)
+            t3 = burst(3 * iters)
+            times.append((t3 - t1) / (2 * iters))
+        else:
+            times.append(burst(iters) / iters)
     return sorted(times)[len(times) // 2]
 
 
