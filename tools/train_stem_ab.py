@@ -62,13 +62,22 @@ def time_step(name: str, fold: bool, stem: str, b: int, size: int,
     for _ in range(8):  # axon post-compile warm-up stalls
         lb = trainer.train_step(batch, 1e-3)
     float(lb.total)
-    trials = []
-    for _ in range(3):
+    def burst(n):
+        nonlocal lb
         t0 = time.perf_counter()
-        for _ in range(20):
+        for _ in range(n):
             lb = trainer.train_step(batch, 1e-3)
         float(lb.total)  # donated-state chain; final fetch closes the tail
-        trials.append((time.perf_counter() - t0) / 20)
+        return time.perf_counter() - t0
+
+    # steady-state slope (1x vs 3x burst): subtracts the fixed ~23 ms
+    # per-burst fetch RPC exactly (ROUND5.md; ~1% at 90 ms steps, but keeps
+    # the protocol uniform with bench.py/serve_ab_matrix)
+    trials = []
+    for _ in range(3):
+        t1 = burst(10)
+        t3 = burst(30)
+        trials.append((t3 - t1) / 20)
     dt = sorted(trials)[1]
     print(f"{name:22s} b{b} {size}^2: {dt * 1e3:8.2f} ms/step  "
           f"{b / dt:7.1f} img/s   (first-step loss {loss0:.4f}, "
