@@ -31,13 +31,17 @@ def _stem_backend_resolve(stem_backend: str, cfg: ModelConfig,
     grouping supports, and a batch where the kernel measured faster."""
     if stem_backend == "xla":
         return "xla"
+    from dcfa_yolo_tpu.ops.pallas_stem import chunk5_cw, stem_vmem_fit
     eligible = (cfg.base_channels == 16
                 and cfg.compute_dtype == "bfloat16"
                 and cfg.input_shape[0] % 16 == 0
-                and cfg.input_shape[1] % 2 == 0)
+                and cfg.input_shape[1] % 2 == 0
+                # the per-image kernels double-buffer whole-image blocks;
+                # past ~1280² they exceed the scoped-VMEM limit (round 5)
+                and stem_vmem_fit(cfg.input_shape[1], cfg.input_shape[0]))
     # v5 (batch-on-lanes, batch-minor output) additionally needs the batch on
-    # full 128-lane groups and the pooled width chunkable (chunk5_cw)
-    from dcfa_yolo_tpu.ops.pallas_stem import chunk5_cw
+    # full 128-lane groups and the pooled width chunkable (chunk5_cw); its
+    # VMEM footprint is resolution-independent
     f_eligible = (eligible and bool(batch) and batch % 128 == 0
                   and chunk5_cw(cfg.input_shape[1]) is not None)
     if stem_backend in ("pallas", "pallas_d", "pallas_e", "pallas_f"):

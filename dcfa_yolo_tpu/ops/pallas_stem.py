@@ -119,6 +119,23 @@ def chunk5_cw(w: int):
     return None
 
 
+def stem_vmem_fit(w: int, h: int) -> bool:
+    """Whether the per-image-gridded stem kernels (v2-v4) fit the 64 MB
+    scoped-VMEM limit at this resolution: Pallas double-buffers the
+    whole-image input and output blocks, so the footprint scales with H·W —
+    at 1280² the blocks need ~50 MB (the old 48 MB limit failed by 64 KB at
+    compile time, round 5).  Conservative estimate against a 58 MB
+    threshold; beyond it `auto` falls back to the XLA stem and explicit
+    requests fail loud at resolve time instead of at compile.  (v5 is
+    resolution-independent — its blocks scale with cw·B only.)"""
+    blk = col_parity_block(w)
+    in_b = 3 * (h + 2) * 2 * blk * 2
+    out_b = (h // 2) * 16 * ((w // 2 + 127) // 128 * 128) * 2
+    scratch = 288 * 2 * blk * 2
+    est = 2 * (in_b + out_b) + scratch + 256 * 1024
+    return est <= 58 * 1024 * 1024
+
+
 def col_parity_block(w: int) -> int:
     """Lane-aligned width of one column-parity block of the deinterleaved
     canvas (v3 contract): W/2+1 parity columns rounded up to a 128 multiple.
@@ -290,7 +307,7 @@ def _stem_call_e(w: int, x_cfd: jnp.ndarray, we: jnp.ndarray,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, h // 2, 16, w // 2), jnp.bfloat16),
         scratch_shapes=[pltpu.VMEM((288, blk), jnp.bfloat16)],
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=48 * 1024 * 1024),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(x_cfd.astype(jnp.bfloat16), we)
     return out
@@ -380,7 +397,7 @@ def _stem_call_d(w: int, x_cfd: jnp.ndarray, wd3: jnp.ndarray,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, h // 2, 16, w // 2), jnp.bfloat16),
         scratch_shapes=[pltpu.VMEM((96, w2d), jnp.bfloat16)],
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=48 * 1024 * 1024),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(x_cfd.astype(jnp.bfloat16), wd3, bias3)
     return out
@@ -592,7 +609,7 @@ def _stem_call(x_cf: jnp.ndarray, wd: jnp.ndarray, bias: jnp.ndarray,
         scratch_shapes=[pltpu.VMEM((96, w2), jnp.bfloat16)],
         # whole-image in/out blocks at 640² exceed the 16 MB default scoped
         # limit with double buffering; well under the v5e's physical VMEM
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=48 * 1024 * 1024),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(x_cf.astype(jnp.bfloat16), wd, bias)
     return out

@@ -336,6 +336,18 @@ def test_stem_backend_auto_resolution(monkeypatch):
     with pytest.raises(ValueError):
         pipeline._stem_backend_resolve("pallas_f", ok, batch=64)
 
+    # multi-scale: 1280² stays eligible (needs the 64 MB scoped-VMEM limit —
+    # the old 48 MB limit failed by 64 KB at compile, round 5); past the
+    # VMEM-fit bound the per-image kernels are excluded BEFORE compile
+    from dcfa_yolo_tpu.ops.pallas_stem import stem_vmem_fit
+    assert stem_vmem_fit(1280, 1280)
+    assert not stem_vmem_fit(2560, 2560)
+    big = ModelConfig(num_classes=1, phi="n", input_shape=(2560, 2560),
+                      compute_dtype="bfloat16")
+    assert pipeline._stem_backend_resolve("auto", big, batch=128) == "xla"
+    with pytest.raises(ValueError):
+        pipeline._stem_backend_resolve("pallas_e", big)
+
     # ineligible configs: auto falls back to xla, explicit raises
     for bad in (ModelConfig(num_classes=1, phi="s", input_shape=(640, 640),
                             compute_dtype="bfloat16"),
