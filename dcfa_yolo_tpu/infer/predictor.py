@@ -318,7 +318,15 @@ class YOLOPredictor:
                           confidence: Optional[float] = None) -> None:
         """Batched `get_map_txt`: one device dispatch for a stack of
         SAME-SIZED pairs, identical txt outputs (the eval protocol is about
-        conf/NMS parameters and the txt format, not the dispatch shape)."""
+        conf/NMS parameters and the txt format, not the dispatch shape).
+
+        Byte-identity vs the per-image protocol holds at a FIXED stem
+        backend.  Under stem_backend='auto' a full-128-lane batch resolves
+        the v5 stem whose letterbox canvas can differ from the per-image
+        path by 1 uint8 LSB on ~7e-6 of pixels (FP-sum-order at PIL-round
+        ties, ops/resize.letterbox_batch_cf5) — borderline detections may
+        shift imperceptibly (mAP-invisible).  Pass stem_backend='pallas_e'
+        (or 'xla') for strict cross-dispatch-shape byte parity."""
         dets = self.detect_batch(rgb_images, nir_images, confidence=confidence)
         for image_id, (boxes, scores, labels) in zip(image_ids, dets):
             self._write_map_txt(image_id, boxes, scores, labels, class_names,

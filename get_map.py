@@ -113,7 +113,9 @@ def main():
                                           args.map_out_path)
             else:
                 # one fused-pipeline dispatch per batch of same-sized pairs;
-                # byte-identical txts (predictor.get_map_txt_batch)
+                # byte-identical txts at a fixed stem backend (under 'auto'
+                # a b%128 batch resolves the v5 stem — ±1-LSB letterbox
+                # ties, mAP-invisible; see get_map_txt_batch docstring)
                 groups = {}
                 for image_id in image_ids:
                     rgb, nir = _load(image_id)
