@@ -58,10 +58,15 @@ def build_exported(variables, cfg, batch: int, conf: float, nms_iou: float,
         dvars = jax.jit(fold_shuffle_variables)(dvars)
 
     def serve(rgb, nir, image_hw):
+        # Pure-StableHLO backends only: 'auto' on a TPU host would resolve
+        # Pallas stems/NMS, baking Mosaic custom calls into the artifact —
+        # platform-version-pinned and rejected by jax.export's safety checks.
+        # The artifact trades the kernels' speed for portability; a consumer
+        # re-running on TPU gets the kernels by serving in-process instead.
         return detect_batch(model, dvars, rgb, nir, image_hw,
                             conf_thres=conf, iou_thres=nms_iou,
                             letterbox=True, max_det=max_det,
-                            nms_backend="xla")
+                            nms_backend="xla", stem_backend="xla")
 
     h, w = cfg.input_shape
     spec = jax.ShapeDtypeStruct((batch, h, w, 3), jnp.uint8)
