@@ -32,24 +32,27 @@ def _stem_backend_resolve(stem_backend: str, cfg: ModelConfig,
     if stem_backend == "xla":
         return "xla"
     from dcfa_yolo_tpu.ops.pallas_stem import chunk5_cw, stem_vmem_fit
-    eligible = (cfg.base_channels == 16
-                and cfg.compute_dtype == "bfloat16"
-                and cfg.input_shape[0] % 16 == 0
-                and cfg.input_shape[1] % 2 == 0
-                # the per-image kernels double-buffer whole-image blocks;
-                # past ~1280² they exceed the scoped-VMEM limit (round 5)
-                and stem_vmem_fit(cfg.input_shape[1], cfg.input_shape[0]))
-    # v5 (batch-on-lanes, batch-minor output) additionally needs the batch on
-    # full 128-lane groups and the pooled width chunkable (chunk5_cw); its
-    # VMEM footprint is resolution-independent
-    f_eligible = (eligible and bool(batch) and batch % 128 == 0
+    base_ok = (cfg.base_channels == 16
+               and cfg.compute_dtype == "bfloat16"
+               and cfg.input_shape[0] % 16 == 0
+               and cfg.input_shape[1] % 2 == 0)
+    # the per-image kernels (v2-v4) double-buffer whole-image blocks; past
+    # ~1280² they exceed the scoped-VMEM limit (round 5).  v5's footprint is
+    # resolution-independent (blocks scale with cw·B only).
+    eligible = base_ok and stem_vmem_fit(cfg.input_shape[1],
+                                         cfg.input_shape[0])
+    # v5 (batch-on-lanes, batch-minor output) additionally needs the batch
+    # on full 128-lane groups and the pooled width chunkable (chunk5_cw)
+    f_eligible = (base_ok and bool(batch) and batch % 128 == 0
                   and chunk5_cw(cfg.input_shape[1]) is not None)
     if stem_backend in ("pallas", "pallas_d", "pallas_e", "pallas_f"):
         if not (f_eligible if stem_backend == "pallas_f" else eligible):
             raise ValueError(
                 f"stem_backend='{stem_backend}' needs base_channels=16, bf16 "
-                f"compute, H%16==0 (pallas_f also batch%128==0, (W/2)%40==0): "
-                f"cfg has base_channels={cfg.base_channels}, "
+                f"compute, H%16==0, and (v2-v4) a resolution within the "
+                f"scoped-VMEM fit (pallas_f instead: batch%128==0 and a "
+                f"chunkable width): cfg has "
+                f"base_channels={cfg.base_channels}, "
                 f"compute_dtype={cfg.compute_dtype}, "
                 f"input_shape={cfg.input_shape}, batch={batch}")
         return stem_backend
@@ -64,10 +67,11 @@ def _stem_backend_resolve(stem_backend: str, cfg: ModelConfig,
     # batch-minor layout the large-batch convs want (killing the 2×1.7 ms
     # stem-output relayout copies the b128 profile pinned).  bench.py's stem
     # autotune re-decides empirically per chip either way.
-    if jax.default_backend() == "tpu" and eligible:
+    if jax.default_backend() == "tpu":
         if f_eligible and len(jax.devices()) == 1:
             return "pallas_f"
-        return "pallas_e"
+        if eligible:
+            return "pallas_e"
     return "xla"
 
 
